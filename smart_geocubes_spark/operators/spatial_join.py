@@ -1,0 +1,123 @@
+"""Broadcast spatial join: points x patch catalog.
+
+Reference analog: ``gpd.sjoin(tile_geometries, roi_gdf, predicate=
+"intersects")`` (``accessors/gee.py:101-107``) and the ArcticDEM
+extent-index intersects filter (``datasets/arcticdem.py:229-231``).
+
+Scale design (10^12 points x 10^3..10^5 patches):
+1. **cell prejoin** — the catalog is exploded onto the coarse grid
+   cells its bbox overlaps (driver-side numpy, thousands of rows) and
+   broadcast; points compute their cell with pure column math; the join
+   is then a broadcast HASH equi-join on ``join_cell`` — never a
+   nested-loop scan of every patch per point, and Catalyst keeps the
+   whole point side pipelined in one stage with no shuffle.
+2. **bbox filter** — exact envelope predicate, still JVM-side columns.
+3. **exact refine** — ray-cast point-in-polygon in an Arrow pandas UDF,
+   grouped per patch inside each batch so each polygon's edges are
+   broadcast once per batch (geo/pip.py kernel).
+
+Skew: dense web regions hammer a few cells. The prejoin key is a cell,
+so AQE skew-join splitting handles the hash side; downstream groupBys
+use two-level (salted partial -> final) aggregation — see
+operators/skew.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smart_geocubes_spark.geo.pip import points_in_polygon
+
+#: coarse prejoin grid: 3-degree cells, aligned to the patch layout.
+CELL_DEG = 3.0
+
+
+def _cell_of(lon_col, lat_col):
+    cx = F.floor((lon_col + F.lit(180.0)) / F.lit(CELL_DEG)).cast("long")
+    cy = F.floor((F.lit(90.0) - lat_col) / F.lit(CELL_DEG)).cast("long")
+    return cx * F.lit(100000) + cy
+
+
+def explode_catalog_to_cells(spark: SparkSession, catalog: DataFrame) -> DataFrame:
+    """Catalog -> one row per (patch, overlapping coarse cell). Runs on
+    the driver (catalog is small by contract — the reference's extent
+    index is thousands of rows) and is broadcast by the join."""
+    pdf = catalog.toPandas()
+    rows = []
+    for r in pdf.itertuples(index=False):
+        x_lo = int(np.floor((r.minx + 180.0) / CELL_DEG))
+        x_hi = int(np.floor((r.maxx + 180.0) / CELL_DEG))
+        y_lo = int(np.floor((90.0 - r.maxy) / CELL_DEG))
+        y_hi = int(np.floor((90.0 - r.miny) / CELL_DEG))
+        for gx in range(x_lo, x_hi + 1):
+            for gy in range(y_lo, y_hi + 1):
+                rows.append((gx * 100000 + gy,) + tuple(r))
+    out = pd.DataFrame(rows, columns=["join_cell", *pdf.columns])
+    return spark.createDataFrame(out)
+
+
+_UDF_CACHE: dict[str, object] = {}
+
+
+def diamond_pip_udf():
+    """Exact refine: ray-cast each candidate point against its patch's
+    diamond polygon. Grouped by patch center within the Arrow batch so
+    the O(n_points * n_edges) kernel is fully vectorized per group."""
+    if "pip" not in _UDF_CACHE:
+
+        @F.pandas_udf("boolean")
+        def _udf(
+            lon: pd.Series,
+            lat: pd.Series,
+            cx: pd.Series,
+            cy: pd.Series,
+            rx: pd.Series,
+            ry: pd.Series,
+        ) -> pd.Series:
+            lon_v = lon.to_numpy(dtype=np.float64)
+            lat_v = lat.to_numpy(dtype=np.float64)
+            cx_v = cx.to_numpy(dtype=np.float64)
+            cy_v = cy.to_numpy(dtype=np.float64)
+            rx_v = rx.to_numpy(dtype=np.float64)
+            ry_v = ry.to_numpy(dtype=np.float64)
+            out = np.zeros(len(lon_v), dtype=bool)
+            # group candidate rows by patch (cx, cy identifies it)
+            key = np.stack([cx_v, cy_v], axis=1)
+            _, inverse = np.unique(key, axis=0, return_inverse=True)
+            for g in np.unique(inverse):
+                sel = inverse == g
+                i = np.flatnonzero(sel)[0]
+                vx = np.array([cx_v[i], cx_v[i] + rx_v[i], cx_v[i], cx_v[i] - rx_v[i]])
+                vy = np.array([cy_v[i] + ry_v[i], cy_v[i], cy_v[i] - ry_v[i], cy_v[i]])
+                out[sel] = points_in_polygon(lon_v[sel], lat_v[sel], vx, vy)
+            return pd.Series(out)
+
+        _UDF_CACHE["pip"] = _udf
+    return _UDF_CACHE["pip"]
+
+
+def bbox_join(points: DataFrame, catalog_cells: DataFrame) -> DataFrame:
+    """Stage 1+2: broadcast hash equi-join on coarse cell, then exact
+    envelope predicate. Output: one row per (point, candidate patch)."""
+    pts = points.withColumn("join_cell", _cell_of(F.col("lon"), F.col("lat")))
+    cond = (
+        (pts["join_cell"] == catalog_cells["join_cell"])
+        & (pts["lon"] >= catalog_cells["minx"])
+        & (pts["lon"] < catalog_cells["maxx"])
+        & (pts["lat"] >= catalog_cells["miny"])
+        & (pts["lat"] < catalog_cells["maxy"])
+    )
+    return pts.join(F.broadcast(catalog_cells), cond, "inner").drop(catalog_cells["join_cell"])
+
+
+def pip_join(points: DataFrame, catalog_cells: DataFrame) -> DataFrame:
+    """Full spatial join: cell prejoin + bbox + ray-cast diamond refine."""
+    cand = bbox_join(points, catalog_cells)
+    return cand.filter(
+        diamond_pip_udf()(
+            F.col("lon"), F.col("lat"), F.col("cx"), F.col("cy"), F.col("rx"), F.col("ry")
+        )
+    )

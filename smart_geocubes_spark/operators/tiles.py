@@ -1,0 +1,88 @@
+"""Tile + cell assignment operators.
+
+The deterministic tile-id projection is the heart of the engine (north
+rule: "identical tile-id assignment for every query geometry";
+reference analog: ``GeoboxTiles`` enumeration ``accessors/gee.py:58-60``
+and chunk layout asserted in ``tests/test_creation.py:77-87``).
+
+Assignment is a *projection*, not a join: pure column math, evaluated
+either JVM-side (shared SQL expressions from functions/sqlgen — stays
+inside WholeStageCodegen) or in an Arrow pandas UDF calling the numpy
+kernel (needed when a non-trivial CRS projection runs first). Both
+paths are tested to agree.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from smart_geocubes_spark.geo.cells import cell_encode
+from smart_geocubes_spark.geo.geobox import TileGrid
+from smart_geocubes_spark.geo.projection import normalize_antimeridian, project
+
+
+def with_tiles_native(df: DataFrame, grid: TileGrid, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """JVM-side tile assignment (identity-CRS grids): floor affine math
+    as native columns — no Python in the hot path at all."""
+    gb = grid.geobox
+    t = grid.tile_size
+    tx = F.floor((F.col(lon) - F.lit(gb.x0)) / F.lit(t)).cast("long")
+    ty = F.floor((F.lit(gb.y0) - F.col(lat)) / F.lit(t)).cast("long")
+    return (
+        df.withColumn("tile_x", tx)
+        .withColumn("tile_y", ty)
+        .withColumn("tile_id", F.col("tile_y") * F.lit(grid.n_tiles_x) + F.col("tile_x"))
+    )
+
+
+def in_extent_filter(grid: TileGrid, lon: str = "lon", lat: str = "lat") -> Column:
+    minx, miny, maxx, maxy = grid.geobox.extent
+    return (
+        (F.col(lon) >= F.lit(minx))
+        & (F.col(lon) < F.lit(maxx))
+        & (F.col(lat) > F.lit(miny))
+        & (F.col(lat) <= F.lit(maxy))
+    )
+
+
+def make_tile_udf(grid: TileGrid, crs: str):
+    """Arrow-batched tile assignment through a real CRS projection
+    (polar stereographic etc.): lon/lat -> project -> grid floor."""
+
+    @F.pandas_udf("tile_x long, tile_y long, tile_id long, px double, py double")
+    def tile_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        x, y = project(lon.to_numpy(), lat.to_numpy(), crs)
+        tx, ty = grid.xy_to_tile(x, y)
+        return pd.DataFrame(
+            {"tile_x": tx, "tile_y": ty, "tile_id": grid.tile_id(tx, ty), "px": x, "py": y}
+        )
+
+    return tile_udf
+
+
+def make_cell_udf(res: int):
+    """Arrow-batched Morton cell encode at resolution ``res`` (the
+    engine's H3/S2-role index; oracle: functions.sqlgen.morton_cell_sql)."""
+
+    @F.pandas_udf("long")
+    def cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cell_encode(lon.to_numpy(), lat.to_numpy(), res))
+
+    return cell_udf
+
+
+_UDF_CACHE: dict[str, object] = {}
+
+
+def normalize_lon_udf():
+    """Antimeridian normalization (reference ``accessors/gee.py:211-215``)."""
+    if "norm_lon" not in _UDF_CACHE:
+
+        @F.pandas_udf("double")
+        def _udf(lon: pd.Series) -> pd.Series:
+            return pd.Series(normalize_antimeridian(lon.to_numpy()))
+
+        _UDF_CACHE["norm_lon"] = _udf
+    return _UDF_CACHE["norm_lon"]

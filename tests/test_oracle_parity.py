@@ -1,0 +1,34 @@
+"""THE correctness gate, locally: every __spark_entry__ queries() entry
+vs its DuckDB oracle at sf0.01 (same sf the driver uses)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from smart_geocubes_spark.testing import run_gate
+
+SF = "/root/testdata/sf0.01"
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, name):
+    problems = run_gate(spark, SF, name, _QUERIES[name], _ORACLES.get(name))
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.columns  # stable schema
+    assert len(rows) >= 0
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    missing = sorted(set(_QUERIES) - set(_ORACLES))
+    # non-SQL-expressible ops may be omitted, but keep the list explicit
+    allowed_rows_only: set[str] = set()
+    assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
