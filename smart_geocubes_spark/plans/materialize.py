@@ -1,0 +1,308 @@
+"""Cube store + idempotent, resumable tile materialization.
+
+Re-expresses the reference's load-and-cache lifecycle
+(``docs/how_it_works.md:48-53``; ``core/accessor.py:400-443``):
+
+  candidates (tiles x time x channels intersecting ROI/TOI)
+    -> LEFT ANTI JOIN lineage            (cache skip, accessor.py:434-436)
+    -> mapInPandas block generation      (download_patch analog)
+    -> partitioned parquet append        (chunk-region write, backend.py:263-272)
+    -> lineage append = COMMIT           (loaded_patches + icechunk commit,
+                                          backends/simple.py:36-38)
+
+Transactional model: each run writes under ``blocks/batch=<id>/`` and
+then ``lineage/batch=<id>/``; a batch exists iff its lineage write
+completed (Spark's job-level commit + _SUCCESS marker). Readers resolve
+the cube as blocks SEMI JOIN lineage, so a job killed mid-write leaves
+invisible orphans and the next run redoes exactly the missing chunks —
+the same observable semantics as one icechunk commit per patch with
+``loaded_patches`` replay (``backends/threaded.py:119-122``), with
+Spark's task-commit protocol replacing the hand-built retry machinery.
+
+Scale notes (100 TB cube, 1000 executors):
+- blocks are partitioned by ``pt = tile_id % N_PARTS`` (stable bucket,
+  bounded partition count) and sorted within files by (tile_id,
+  time_idx, channel) -> partition pruning on reads, no small-file blowup
+  at high tile counts;
+- the lineage side of the anti-join is tiny relative to the data
+  (one row per chunk, no payload) and is auto-broadcast;
+- block generation is an Arrow ``mapInPandas`` producing whole chunk
+  arrays — one task per candidate partition, no Python row loop;
+- metrics rows are emitted per task partition (north rule: per-partition
+  lineage + metrics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smart_geocubes_spark.geo.geobox import TileGrid
+
+N_PARTS = 64  # stable block-bucket count (tile_id % N_PARTS)
+
+BLOCK_SCHEMA = (
+    "tile_y long, tile_x long, tile_id long, time_idx int, channel string, "
+    "pt int, batch_id string, block array<double>"
+)
+LINEAGE_SCHEMA = (
+    "chunk_key string, tile_id long, time_idx int, channel string, "
+    "batch_id string, partition_id int, n_rows long, n_bytes long"
+)
+
+
+@dataclass(frozen=True)
+class CubeSpec:
+    """Grid + channels + temporal axis — the reference's dataset class
+    variables (``core/accessor.py:58-64``) as data."""
+
+    grid: TileGrid
+    channels: tuple[str, ...]
+    time_epochs: tuple[int, ...] | None  # None => atemporal
+
+    def to_json(self) -> dict:
+        gb = self.grid.geobox
+        return {
+            "crs": gb.crs,
+            "x0": gb.x0,
+            "y0": gb.y0,
+            "res": gb.res,
+            "width": gb.width,
+            "height": gb.height,
+            "chunk_px": self.grid.chunk_px,
+            "channels": list(self.channels),
+            "time_epochs": list(self.time_epochs) if self.time_epochs else None,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "CubeSpec":
+        from smart_geocubes_spark.geo.geobox import GeoBox
+
+        gb = GeoBox(
+            crs=d["crs"], x0=d["x0"], y0=d["y0"], res=d["res"],
+            width=d["width"], height=d["height"],
+        )
+        return CubeSpec(
+            grid=TileGrid(geobox=gb, chunk_px=d["chunk_px"]),
+            channels=tuple(d["channels"]),
+            time_epochs=tuple(d["time_epochs"]) if d["time_epochs"] else None,
+        )
+
+
+def chunk_value_base(tile_y: np.ndarray, tile_x: np.ndarray, channel_off: np.ndarray) -> np.ndarray:
+    """Deterministic block base value (FIXTURES.md §3): closed-form so
+    zonal stats have analytic golden values."""
+    return tile_y * 1000.0 + tile_x + channel_off
+
+
+CHANNEL_OFFSETS = {"dem": 0.0, "slope": 500000.0}
+
+
+def create_cube(path: str, spec: CubeSpec) -> None:
+    """DDL: write grid/channel/time metadata + empty layout (reference
+    ``create()``, ``core/accessor.py:206-296``). Idempotent-checked like
+    its overwrite/exists semantics (``tests/test_creation.py:122-140``)."""
+    if os.path.exists(os.path.join(path, "_meta.json")):
+        raise FileExistsError(path)
+    os.makedirs(os.path.join(path, "blocks"), exist_ok=True)
+    os.makedirs(os.path.join(path, "lineage"), exist_ok=True)
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(spec.to_json(), f)
+
+
+def open_spec(path: str) -> CubeSpec:
+    with open(os.path.join(path, "_meta.json")) as f:
+        return CubeSpec.from_json(json.load(f))
+
+
+def _lineage_batches(path: str) -> list[str]:
+    ldir = os.path.join(path, "lineage")
+    out = []
+    for b in sorted(os.listdir(ldir)):
+        if os.path.exists(os.path.join(ldir, b, "_SUCCESS")):
+            out.append(os.path.join(ldir, b))
+    return out
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    """Committed lineage (the ``loaded_patches`` list)."""
+    batches = _lineage_batches(path)
+    if not batches:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(*batches)
+
+
+def candidate_chunks(
+    spark: SparkSession,
+    spec: CubeSpec,
+    roi_bbox: tuple[float, float, float, float],
+    toi_epochs: list[int] | None = None,
+) -> DataFrame:
+    """Tile-coverage enumeration x TOI x channels (reference
+    ``adjacent_patches``: grid tiles intersecting ROI,
+    ``accessors/gee.py:109-112``; temporal cross product
+    ``accessors/gee.py:128-143``)."""
+    tiles = spec.grid.tiles_overlapping_bbox(*roi_bbox)
+    if len(tiles) == 0:
+        raise ValueError("ROI does not intersect the cube extent")
+    nx = spec.grid.n_tiles_x
+    tdf = spark.createDataFrame(
+        pd.DataFrame({"tile_x": tiles[:, 0], "tile_y": tiles[:, 1]})
+    ).withColumn("tile_id", F.col("tile_y") * F.lit(nx) + F.col("tile_x"))
+    if spec.time_epochs is None:
+        tdf = tdf.withColumn("time_idx", F.lit(-1).cast("int"))
+    else:
+        sel = toi_epochs if toi_epochs is not None else list(spec.time_epochs)
+        idxs = [list(spec.time_epochs).index(t) for t in sel]
+        tdf = tdf.crossJoin(
+            spark.createDataFrame(pd.DataFrame({"time_idx": np.array(idxs, dtype=np.int32)}))
+        )
+    ch = spark.createDataFrame(pd.DataFrame({"channel": list(spec.channels)}))
+    out = tdf.crossJoin(F.broadcast(ch))
+    return out.withColumn(
+        "chunk_key",
+        F.concat_ws("-", F.col("time_idx"), F.col("tile_y"), F.col("tile_x"), F.col("channel")),
+    )
+
+
+def plan_missing(candidates: DataFrame, lineage: DataFrame) -> DataFrame:
+    """The cache-skip anti-join (reference ``core/accessor.py:434-436``)."""
+    return candidates.join(lineage.select("chunk_key"), "chunk_key", "left_anti")
+
+
+def _gen_blocks_factory(chunk_px: int):
+    n_px = chunk_px * chunk_px
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ramp = np.arange(n_px, dtype=np.float64) * 0.5
+        for b in batches:
+            off = b["channel"].map(CHANNEL_OFFSETS).fillna(0.0).to_numpy(dtype=np.float64)
+            base = chunk_value_base(
+                b["tile_y"].to_numpy(dtype=np.float64),
+                b["tile_x"].to_numpy(dtype=np.float64),
+                off,
+            )
+            # time shift so temporal chunks differ per step
+            base = base + np.where(b["time_idx"].to_numpy() >= 0, b["time_idx"].to_numpy() * 10.0, 0.0)
+            blocks = base[:, None] + ramp[None, :]
+            out = b[["tile_y", "tile_x", "tile_id", "time_idx", "channel", "batch_id"]].copy()
+            out["pt"] = (b["tile_id"] % N_PARTS).astype("int32")
+            out["block"] = list(blocks)
+            yield out
+
+    return gen
+
+
+def materialize(
+    spark: SparkSession,
+    path: str,
+    roi_bbox: tuple[float, float, float, float],
+    toi_epochs: list[int] | None = None,
+    fail_after_blocks: bool = False,
+) -> dict:
+    """One idempotent cache-fill run (procedural_download analog).
+
+    Returns summary dict. ``fail_after_blocks`` simulates a crash
+    between the block write and the lineage commit (for resume tests —
+    the reference's kill-safety comes from icechunk commits; ours from
+    lineage-gated visibility)."""
+    spec = open_spec(path)
+    batch_id = uuid.uuid4().hex[:12]
+    t0 = time.time()
+
+    candidates = candidate_chunks(spark, spec, roi_bbox, toi_epochs)
+    lineage = read_lineage(spark, path)
+    missing = plan_missing(candidates, lineage)
+    # one shuffle to co-locate chunks of the same block bucket, so each
+    # output partition maps to one stable pt bucket
+    missing = missing.withColumn("pt", (F.col("tile_id") % N_PARTS).cast("int")).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    n_missing = missing.count()
+    if n_missing == 0:
+        return {"batch_id": batch_id, "written": 0, "skipped": "all cached", "sec": time.time() - t0}
+
+    blocks = missing.repartition(F.col("pt")).mapInPandas(
+        _gen_blocks_factory(spec.grid.chunk_px), schema=BLOCK_SCHEMA
+    )
+    block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
+    blocks.write.mode("overwrite").parquet(block_dir)
+
+    if fail_after_blocks:
+        raise RuntimeError("simulated crash before lineage commit")
+
+    # lineage rows: re-derive deterministically from the plan (cheap;
+    # no payload) with per-partition ids — the COMMIT.
+    n_px = spec.grid.chunk_px * spec.grid.chunk_px
+    lin = (
+        missing.withColumn("partition_id", F.spark_partition_id())
+        .withColumn("n_rows", F.lit(1).cast("long"))
+        .withColumn("n_bytes", F.lit(8 * n_px).cast("long"))
+        .select(
+            "chunk_key", "tile_id", "time_idx", "channel",
+            "batch_id", "partition_id", "n_rows", "n_bytes",
+        )
+    )
+    lin_dir = os.path.join(path, "lineage", f"batch={batch_id}")
+    lin.write.mode("overwrite").parquet(lin_dir)
+
+    # per-run metrics (event-log analog, core/backend.py:23-28)
+    metrics = {
+        "batch_id": batch_id,
+        "written": int(n_missing),
+        "sec": time.time() - t0,
+    }
+    mdir = os.path.join(path, "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"{batch_id}.json"), "w") as f:
+        json.dump(metrics, f)
+    return metrics
+
+
+def load(
+    spark: SparkSession,
+    path: str,
+    roi_bbox: tuple[float, float, float, float],
+    toi_epochs: list[int] | None = None,
+) -> DataFrame:
+    """ROI read: materialize() first for the reference's full load()
+    semantics; this is the scan+crop step (snapshot = committed lineage
+    only). Partition pruning: blocks are filtered on tile_id membership
+    (small set -> pushed to parquet row groups)."""
+    spec = open_spec(path)
+    tiles = spec.grid.tiles_overlapping_bbox(*roi_bbox)
+    nx = spec.grid.n_tiles_x
+    tile_ids = [int(ty * nx + tx) for tx, ty in tiles]
+    bdir = os.path.join(path, "blocks")
+    batches = [
+        os.path.join(bdir, b)
+        for b in sorted(os.listdir(bdir))
+        if os.path.exists(os.path.join(bdir, b, "_SUCCESS"))
+    ]
+    if not batches:
+        return spark.createDataFrame([], BLOCK_SCHEMA)
+    df = spark.read.schema(BLOCK_SCHEMA).parquet(*batches).filter(
+        F.col("tile_id").isin(tile_ids)
+    )
+    if toi_epochs is not None and spec.time_epochs is not None:
+        idxs = [list(spec.time_epochs).index(t) for t in toi_epochs]
+        df = df.filter(F.col("time_idx").isin(idxs))
+    # visibility: a block row is visible iff a committed lineage row
+    # names BOTH its chunk_key AND its batch_id — orphan blocks from a
+    # crashed batch never match even when a later batch re-wrote the
+    # same chunk (icechunk-commit visibility semantics).
+    lineage = read_lineage(spark, path).select("chunk_key", "batch_id").distinct()
+    df = df.withColumn(
+        "chunk_key",
+        F.concat_ws("-", F.col("time_idx"), F.col("tile_y"), F.col("tile_x"), F.col("channel")),
+    )
+    return df.join(F.broadcast(lineage), ["chunk_key", "batch_id"], "left_semi")

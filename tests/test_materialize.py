@@ -1,0 +1,136 @@
+"""M2: cube create/materialize/load + lineage idempotency + resume.
+
+Mirrors the reference's creation tests (layout), golden-stat load tests
+and kill/concurrency tests (``tests/test_creation.py``,
+``tests/test_arcticdem.py:75-137``) in hermetic synthetic form."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
+from smart_geocubes_spark.plans.materialize import (
+    CubeSpec,
+    candidate_chunks,
+    create_cube,
+    load,
+    materialize,
+    open_spec,
+    plan_missing,
+    read_lineage,
+)
+
+SMALL_GRID = TileGrid(
+    geobox=GeoBox(crs="EPSG:4326", x0=0.0, y0=20.0, res=0.01, width=2000, height=2000),
+    chunk_px=100,
+)  # 20 x 20 tiles of 1 deg, 100x100 px chunks (FIXTURES.md §3)
+
+ROI_A = (2.3, 15.2, 4.8, 17.9)  # tiles tx 2..4, ty 2..4 -> 3x3 = 9 tiles
+ROI_B = (3.3, 14.2, 6.8, 16.9)  # overlaps ROI_A
+
+
+@pytest.fixture()
+def cube(tmp_path):
+    path = str(tmp_path / "cube")
+    create_cube(path, CubeSpec(grid=SMALL_GRID, channels=("dem", "slope"), time_epochs=None))
+    return path
+
+
+def test_create_exists_semantics(cube):
+    spec = open_spec(cube)
+    assert spec.grid.n_tiles_x == 20 and spec.grid.n_tiles_y == 20
+    with pytest.raises(FileExistsError):
+        create_cube(cube, CubeSpec(grid=SMALL_GRID, channels=("dem",), time_epochs=None))
+
+
+def test_candidate_enumeration(spark, cube):
+    spec = open_spec(cube)
+    cands = candidate_chunks(spark, spec, ROI_A)
+    assert cands.count() == 9 * 2  # 9 tiles x 2 channels
+    with pytest.raises(ValueError):
+        candidate_chunks(spark, spec, (-50.0, -50.0, -40.0, -40.0))
+
+
+def test_materialize_load_golden(spark, cube):
+    m = materialize(spark, cube, ROI_A)
+    assert m["written"] == 18
+    df = load(spark, cube, ROI_A)
+    assert df.count() == 18
+    # golden closed-form zonal stats: block = ty*1000+tx+off + 0.5*p
+    row = (
+        df.filter((F.col("tile_y") == 3) & (F.col("tile_x") == 2) & (F.col("channel") == "dem"))
+        .select(
+            F.aggregate("block", F.lit(0.0), lambda a, x: a + x).alias("s"),
+            F.array_min("block").alias("mn"),
+            F.array_max("block").alias("mx"),
+        )
+        .collect()[0]
+    )
+    base = 3 * 1000 + 2
+    assert row.mn == base
+    assert row.mx == base + 0.5 * 9999
+    assert row.s == base * 10000 + 0.5 * (9999 * 10000 / 2)
+
+
+def test_idempotent_rerun_writes_zero(spark, cube):
+    m1 = materialize(spark, cube, ROI_A)
+    m2 = materialize(spark, cube, ROI_A)
+    assert m1["written"] == 18 and m2["written"] == 0
+    assert load(spark, cube, ROI_A).count() == 18  # no duplicates
+
+
+def test_incremental_overlap_writes_complement(spark, cube):
+    materialize(spark, cube, ROI_A)
+    m2 = materialize(spark, cube, ROI_B)
+    # ROI_B = 4x3 tiles, overlap with ROI_A = 2x2 -> 8 new tiles x 2 ch
+    assert m2["written"] == 16
+    lin = read_lineage(spark, cube)
+    assert lin.count() == 18 + 16
+    assert lin.select("chunk_key").distinct().count() == 34
+
+
+def test_kill_and_restart_resume(spark, cube):
+    """Crash between block write and lineage commit: orphan blocks stay
+    invisible; restart completes to the exact same state as a clean run
+    (reference semantics: uncommitted icechunk writes are invisible)."""
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        materialize(spark, cube, ROI_A, fail_after_blocks=True)
+    assert load(spark, cube, ROI_A).count() == 0  # nothing visible
+    m = materialize(spark, cube, ROI_A)  # restart
+    assert m["written"] == 18  # redoes exactly the missing chunks
+    df = load(spark, cube, ROI_A)
+    assert df.count() == 18
+    assert df.select("chunk_key").distinct().count() == 18
+
+
+def test_plan_missing_antijoin(spark, cube):
+    spec = open_spec(cube)
+    materialize(spark, cube, ROI_A)
+    cands = candidate_chunks(spark, spec, ROI_B)
+    missing = plan_missing(cands, read_lineage(spark, cube))
+    assert missing.count() == 16
+    # anti-join never invents chunks
+    keys = {r.chunk_key for r in missing.collect()}
+    done = {r.chunk_key for r in read_lineage(spark, cube).collect()}
+    assert not keys & done
+
+
+def test_temporal_cube(spark, tmp_path):
+    path = str(tmp_path / "tcube")
+    epochs = (1577836800, 1609459200)
+    create_cube(path, CubeSpec(grid=SMALL_GRID, channels=("dem",), time_epochs=epochs))
+    m = materialize(spark, path, ROI_A, toi_epochs=[1609459200])
+    assert m["written"] == 9
+    df = load(spark, path, ROI_A, toi_epochs=[1609459200])
+    assert df.count() == 9
+    # time shift applied to block values
+    row = df.filter((F.col("tile_y") == 3) & (F.col("tile_x") == 2)).select(
+        F.array_min("block").alias("mn")
+    ).collect()[0]
+    assert row.mn == 3 * 1000 + 2 + 1 * 10.0
+    # full-TOI fill adds only the other step
+    m2 = materialize(spark, path, ROI_A)
+    assert m2["written"] == 9
