@@ -1,0 +1,75 @@
+"""Zonal raster<->vector reads: per-tile statistics over ROI block
+arrays.
+
+Reference analog: loading an ROI and summarizing it
+(``tests/test_arcticdem.py:26-29`` pins dem.mean/min/max golden
+values). Engine shape: ROI -> tile coverage enumeration (driver-side,
+tiny) -> block generation in Arrow ``mapInPandas`` (the synthetic
+stand-in for the object-store tile read, SURVEY §2.1 S3) -> JVM
+higher-order array functions for the statistics (aggregate/array_min/
+array_max stay inside codegen; no Python in the reduce)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smart_geocubes_spark.geo.geobox import TileGrid
+from smart_geocubes_spark.plans.materialize import CHANNEL_OFFSETS, chunk_value_base
+
+ZONAL_BLOCK_SCHEMA = "tile_id long, tile_x long, tile_y long, channel string, block array<double>"
+
+
+def roi_tiles_df(
+    spark: SparkSession, grid: TileGrid, rois: list[tuple[float, float, float, float]]
+) -> DataFrame:
+    """Distinct tiles covering the ROIs (deterministic enumeration)."""
+    parts = [grid.tiles_overlapping_bbox(*r) for r in rois]
+    tiles = np.unique(np.concatenate(parts), axis=0)
+    pdf = pd.DataFrame({"tile_x": tiles[:, 0], "tile_y": tiles[:, 1]})
+    pdf["tile_id"] = pdf["tile_y"] * grid.n_tiles_x + pdf["tile_x"]
+    return spark.createDataFrame(pdf)
+
+
+def _gen(chunk_px: int):
+    n_px = chunk_px * chunk_px
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ramp = np.arange(n_px, dtype=np.float64) * 0.5
+        for b in batches:
+            off = b["channel"].map(CHANNEL_OFFSETS).fillna(0.0).to_numpy(dtype=np.float64)
+            base = chunk_value_base(
+                b["tile_y"].to_numpy(dtype=np.float64),
+                b["tile_x"].to_numpy(dtype=np.float64),
+                off,
+            )
+            out = b[["tile_id", "tile_x", "tile_y", "channel"]].copy()
+            out["block"] = list(base[:, None] + ramp[None, :])
+            yield out
+
+    return gen
+
+
+def zonal_stats(
+    spark: SparkSession,
+    grid: TileGrid,
+    rois: list[tuple[float, float, float, float]],
+    channels: list[str],
+) -> DataFrame:
+    """(tile_id, channel, mean_val, min_val, max_val) over ROI tiles."""
+    tiles = roi_tiles_df(spark, grid, rois)
+    ch = spark.createDataFrame(pd.DataFrame({"channel": channels}))
+    cand = tiles.crossJoin(F.broadcast(ch))
+    blocks = cand.mapInPandas(_gen(grid.chunk_px), schema=ZONAL_BLOCK_SCHEMA)
+    n_px = float(grid.chunk_px * grid.chunk_px)
+    return blocks.select(
+        "tile_id",
+        "channel",
+        (F.aggregate("block", F.lit(0.0), lambda a, x: a + x) / F.lit(n_px)).alias("mean_val"),
+        F.array_min("block").alias("min_val"),
+        F.array_max("block").alias("max_val"),
+    )

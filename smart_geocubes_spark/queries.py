@@ -174,6 +174,252 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# kNN with cell-ring expansion (exact, with brute-force fallback)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+def _knn_queries_pdf(spark: SparkSession):
+    pdf = (
+        catalog_df(spark)
+        .filter((F.col("patch_idx") % 48) == 13)
+        .select(
+            F.col("patch_idx").alias("qid"),
+            (F.col("cx") + F.lit(0.123)).alias("qx"),
+            (F.col("cy") - F.lit(0.217)).alias("qy"),
+        )
+        .toPandas()
+    )
+    return pdf
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.knn import knn_join
+
+    pts = _points(spark, sf_dir).withColumnRenamed("page_id", "point_id")
+    return knn_join(spark, pts, _knn_queries_pdf(spark), k=_KNN_K)
+
+
+SQL_KNN = f"""{ORACLE_PREFIX},
+q AS (
+  SELECT patch_idx AS qid, cx + 0.123 AS qx, cy - 0.217 AS qy
+  FROM patches WHERE patch_idx % 48 = 13
+)
+SELECT qid, neighbor_id, rank FROM (
+  SELECT q.qid, t.page_id AS neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY (t.lon - q.qx) * (t.lon - q.qx) + (t.lat - q.qy) * (t.lat - q.qy) ASC,
+                    t.page_id ASC
+         ) AS BIGINT) AS rank
+  FROM pts t CROSS JOIN q
+) ranked WHERE rank <= {_KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# temporal: as-of nearest + interval join
+# ---------------------------------------------------------------------------
+
+from smart_geocubes_spark.sources.synth import CUBE_TIME_EPOCHS  # noqa: E402
+
+_AXIS_VALUES = ",".join(f"({i}, {e})" for i, e in enumerate(CUBE_TIME_EPOCHS))
+
+
+def q_asof_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-time mapping (reference TOI semantics, core/toi.py:33-37):
+    each page's warc_ts snapped to the nearest cube time step."""
+    import pandas as pd
+
+    from smart_geocubes_spark.operators.temporal import asof_nearest
+
+    axis = spark.createDataFrame(
+        pd.DataFrame(
+            {"time_idx": range(len(CUBE_TIME_EPOCHS)), "epoch": list(CUBE_TIME_EPOCHS)}
+        )
+    ).selectExpr("CAST(time_idx AS INT) AS time_idx", "CAST(epoch AS LONG) AS epoch")
+    ev = _points(spark, sf_dir).select("page_id", "warc_epoch")
+    return asof_nearest(ev, axis).selectExpr("page_id", "CAST(time_idx AS BIGINT) AS time_idx")
+
+
+SQL_ASOF_TIME = f"""{ORACLE_PREFIX},
+axis AS (SELECT * FROM (VALUES {_AXIS_VALUES}) ta(time_idx, epoch))
+SELECT page_id, CAST(time_idx AS BIGINT) AS time_idx FROM (
+  SELECT t.page_id, a.time_idx,
+         row_number() OVER (
+           PARTITION BY t.page_id
+           ORDER BY abs(t.warc_epoch - a.epoch) ASC, a.time_idx ASC
+         ) AS rn
+  FROM pts t CROSS JOIN axis a
+) x WHERE rn = 1
+"""
+
+
+def q_range_join_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: pages whose warc_ts falls inside a patch's
+    validity window, as a bucketed hash equi-join (no theta NLJ)."""
+    from smart_geocubes_spark.operators.temporal import bucketed_range_join
+
+    pts = _points(spark, sf_dir).select("page_id", "warc_epoch")
+    cat = catalog_df(spark).select("patch_id", "t_start_epoch", "t_end_epoch")
+    j = bucketed_range_join(pts, cat)
+    return j.groupBy("patch_id").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("page_id").cast("long").alias("sum_page_id"),
+    )
+
+
+SQL_RANGE_JOIN_TIME = f"""{ORACLE_PREFIX}
+SELECT p.patch_id,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(t.page_id) AS BIGINT) AS sum_page_id
+FROM pts t JOIN patches p
+  ON p.t_start_epoch IS NOT NULL
+ AND t.warc_epoch >= p.t_start_epoch AND t.warc_epoch <= p.t_end_epoch
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# zonal stats over synthetic cube blocks (closed-form oracle)
+# ---------------------------------------------------------------------------
+
+ZONAL_ROIS = [
+    (-150.7, 62.3, -148.2, 64.9),
+    (19.3, 69.1, 23.8, 71.2),
+    (99.2, 76.3, 103.7, 79.4),
+]
+_ZONAL_CHANNELS = [("dem", 0.0), ("slope", 500000.0)]
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.zonal import zonal_stats
+
+    return zonal_stats(spark, GRID, ZONAL_ROIS, [c for c, _ in _ZONAL_CHANNELS])
+
+
+def _zonal_tile_ranges() -> list[str]:
+    conds = []
+    for roi in ZONAL_ROIS:
+        t = GRID.tiles_overlapping_bbox(*roi)
+        conds.append(
+            f"(tx BETWEEN {t[:, 0].min()} AND {t[:, 0].max()} "
+            f"AND ty BETWEEN {t[:, 1].min()} AND {t[:, 1].max()})"
+        )
+    return conds
+
+
+_N_PX = GRID.chunk_px * GRID.chunk_px
+_ZONAL_CH_VALUES = ",".join(f"('{c}', {o!r})" for c, o in _ZONAL_CHANNELS)
+
+SQL_ZONAL_STATS = f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {" OR ".join(_zonal_tile_ranges())}
+),
+zc AS (
+  SELECT tile_id, tx, ty, channel, off
+  FROM ztf CROSS JOIN (VALUES {_ZONAL_CH_VALUES}) ch(channel, off)
+)
+SELECT tile_id, channel,
+       CAST(ty * 1000 + tx + off AS DOUBLE) + {0.5 * (_N_PX - 1) / 2.0!r} AS mean_val,
+       CAST(ty * 1000 + tx + off AS DOUBLE) AS min_val,
+       CAST(ty * 1000 + tx + off AS DOUBLE) + {0.5 * (_N_PX - 1)!r} AS max_val
+FROM zc
+"""
+
+
+# ---------------------------------------------------------------------------
+# lineage anti-join chunk plan (cache-skip, the reference's core optimization)
+# ---------------------------------------------------------------------------
+
+def q_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates (ROI tiles x channels) LEFT ANTI JOIN committed
+    lineage -> exactly the chunks a resume run must write
+    (core/accessor.py:434-436 semantics)."""
+    from smart_geocubes_spark.operators.zonal import roi_tiles_df
+
+    tiles = roi_tiles_df(spark, GRID, [ZONAL_ROIS[0]])
+    import pandas as pd
+
+    ch = spark.createDataFrame(pd.DataFrame({"channel": [c for c, _ in _ZONAL_CHANNELS]}))
+    cands = tiles.crossJoin(F.broadcast(ch))
+    committed = cands.filter((F.col("tile_id") % 2 == 0) & (F.col("channel") == "dem"))
+    plan = cands.join(committed.select("tile_id", "channel"), ["tile_id", "channel"], "left_anti")
+    return plan.select("tile_id", "channel")
+
+
+SQL_CHUNK_PLAN = f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id FROM zt
+  WHERE {_zonal_tile_ranges()[0]}
+),
+cands AS (
+  SELECT tile_id, channel
+  FROM ztf CROSS JOIN (VALUES ('dem'), ('slope')) ch(channel)
+)
+SELECT tile_id, channel FROM cands
+WHERE NOT (tile_id % 2 = 0 AND channel = 'dem')
+"""
+
+
+# ---------------------------------------------------------------------------
+# antimeridian normalization (reference accessors/gee.py:211-215)
+# ---------------------------------------------------------------------------
+
+def q_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shifted longitudes (some wrapped past +-180) are normalized in an
+    Arrow UDF, then tile-assigned; oracle recomputes with fmod."""
+    from smart_geocubes_spark.operators.tiles import normalize_lon_udf
+
+    pts = _points(spark, sf_dir).withColumn(
+        "lon_shift",
+        F.col("lon")
+        + F.when(F.col("page_id") % 5 == 0, F.lit(360.0))
+        .when(F.col("page_id") % 5 == 1, F.lit(-360.0))
+        .otherwise(F.lit(0.0)),
+    )
+    out = pts.withColumn("lon_norm", normalize_lon_udf()(F.col("lon_shift")))
+    out = out.filter(in_extent_filter(GRID, lon="lon_norm", lat="lat"))
+    out = with_tiles_native(out.withColumnRenamed("lon_norm", "lon_n"), GRID, lon="lon_n", lat="lat")
+    return out.select("page_id", F.col("lon_n").alias("lon_norm"), "tile_id")
+
+
+_FMOD_NORM = (
+    "CASE WHEN fmod(lon_shift + 180.0, 360.0) < 0 "
+    "THEN fmod(lon_shift + 180.0, 360.0) + 360.0 "
+    "ELSE fmod(lon_shift + 180.0, 360.0) END - 180.0"
+)
+_TILE_NORM = tile_assign_sql(
+    "lon_norm", "lat", GRID.geobox.x0, GRID.geobox.y0, GRID.tile_size, GRID.n_tiles_x
+)
+
+SQL_ANTIMERIDIAN = f"""{ORACLE_PREFIX},
+shifted AS (
+  SELECT page_id, lat,
+         lon + CASE WHEN page_id % 5 = 0 THEN 360.0
+                    WHEN page_id % 5 = 1 THEN -360.0 ELSE 0.0 END AS lon_shift
+  FROM pts
+),
+norm AS (
+  SELECT page_id, lat, {_FMOD_NORM} AS lon_norm FROM shifted
+)
+SELECT page_id, lon_norm, {_TILE_NORM["tile_id"]} AS tile_id
+FROM norm
+WHERE lon_norm >= -180.0 AND lon_norm < 180.0 AND lat > 60.0 AND lat <= 84.0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -184,6 +430,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_encode": q_cell_encode,
     "spatial_join_bbox": q_spatial_join_bbox,
     "spatial_join_pip": q_spatial_join_pip,
+    "knn_ring": q_knn,
+    "asof_time_nearest": q_asof_time,
+    "range_join_time": q_range_join_time,
+    "zonal_stats": q_zonal_stats,
+    "chunk_plan_antijoin": q_chunk_plan,
+    "antimeridian_norm": q_antimeridian,
 }
 
 ORACLES: dict[str, str] = {
@@ -193,4 +445,10 @@ ORACLES: dict[str, str] = {
     "cell_encode": SQL_CELL_ENCODE,
     "spatial_join_bbox": SQL_SPATIAL_JOIN_BBOX,
     "spatial_join_pip": SQL_SPATIAL_JOIN_PIP,
+    "knn_ring": SQL_KNN,
+    "asof_time_nearest": SQL_ASOF_TIME,
+    "range_join_time": SQL_RANGE_JOIN_TIME,
+    "zonal_stats": SQL_ZONAL_STATS,
+    "chunk_plan_antijoin": SQL_CHUNK_PLAN,
+    "antimeridian_norm": SQL_ANTIMERIDIAN,
 }
