@@ -41,7 +41,12 @@ def geoparse_url():
                 {"lat_e5": lat.astype("Int64"), "lon_e5": lon.astype("Int64"), "has_geo": has}
             )
 
-        _UDF_CACHE["geoparse"] = _udf
+        # The parse IS pure, but Catalyst treats deterministic UDFs as
+        # free to duplicate: it pushes dependent filters below exchanges
+        # and re-evaluates the UDF per consumer (observed: geoparse ran
+        # twice, once in the serial pre-shuffle stage). Nondeterministic
+        # pins one evaluation at its plan position.
+        _UDF_CACHE["geoparse"] = _udf.asNondeterministic()
     return _UDF_CACHE["geoparse"]
 
 
@@ -53,7 +58,8 @@ def extract_text_udf():
         def _udf(html: pd.Series) -> pd.Series:
             return pd.Series([extract_text(h) for h in html], dtype="object")
 
-        _UDF_CACHE["extract"] = _udf
+        # see geoparse_url: prevent Catalyst duplicating the Python eval
+        _UDF_CACHE["extract"] = _udf.asNondeterministic()
     return _UDF_CACHE["extract"]
 
 

@@ -195,12 +195,25 @@ def ensure_base_views(spark: SparkSession, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
-def pages_df(spark: SparkSession, sf_dir: str, mult: int = 1) -> DataFrame:
+def pages_df(
+    spark: SparkSession, sf_dir: str, mult: int = 1, parallelism: int | None = None
+) -> DataFrame:
     """The pages table as a DataFrame, with the mandated physical schema
     ``(url, warc_ts timestamp, html binary, text, lang)`` plus the
-    derivation columns kept for tests."""
+    derivation columns kept for tests.
+
+    ``parallelism``: repartition the *source* before the mult fan-out —
+    the driver parquet is one small file (one input split), so without
+    this the explode runs in a single task. At production scale the
+    Iceberg table's splits make this unnecessary."""
     ensure_base_views(spark, sf_dir)
-    df = spark.sql(pages_sql("orders", mult=mult))
+    src = "orders"
+    if parallelism:
+        spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+            parallelism
+        ).createOrReplaceTempView("orders_spread")
+        src = "orders_spread"
+    df = spark.sql(pages_sql(src, mult=mult))
     return df.selectExpr(
         "page_id",
         "h1", "h2", "h3", "has_geo", "lat_e5", "lon_e5", "host_id", "warc_epoch",
