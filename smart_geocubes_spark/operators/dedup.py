@@ -1,0 +1,202 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket self-join -> exact-Jaccard verify), n-gram Jaccard with
+rare-shingle candidate pruning, and SimHash signatures. These are the
+web-scale complement of the geocube engine: the same
+candidates -> refine -> lineage shape as the spatial join, applied to
+text identity instead of geometry.
+
+Scale design:
+- shingling is JVM-side (``sequence`` + ``transform`` + ``explode`` —
+  whole-stage codegen, no Python);
+- MinHash uses ``min(md5(seed || shingle))`` per seed: a valid
+  min-wise permutation family, pure built-ins, and bit-identical in
+  the DuckDB oracle;
+- the LSH self-join is an equi-join on (band_idx, band_key), so
+  Catalyst hash-joins it; candidate count is O(true-pair-ish), never
+  O(n^2);
+- exact verify is an integer comparison (2*|∩| >= |∪| for tau=0.5) —
+  no float thresholds to drift.
+
+Documents fixture has no duplicates, so dedup queries run over a
+``corpus`` with deterministically injected exact (+1000 ids) and
+truncated near (+2000 ids) duplicates — same CTE in engine and oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+N_BANDS = 4  # 2 rows per band
+SHINGLE = 12  # char 12-grams
+RARE_DF = 5  # rare-shingle candidate threshold for ngram-jaccard
+
+CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 2000 AS doc_id,
+       substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def corpus_df(spark: SparkSession) -> DataFrame:
+    """documents + injected exact/near duplicates (shared CTE)."""
+    return spark.sql(CORPUS_SQL)
+
+
+def shingles(corpus: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) char 12-grams — JVM-side higher-order
+    functions, stays in codegen."""
+    return corpus.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {SHINGLE - 1}, 1)),"
+                f" i -> substring(text, i, {SHINGLE}))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def dedup_exact(corpus: DataFrame) -> DataFrame:
+    """Exact dedup: hash groupBy on full text; keeper = min(doc_id)."""
+    return corpus.groupBy("text").agg(
+        F.min("doc_id").cast("long").alias("keeper_id"),
+        F.count("*").cast("long").alias("n_copies"),
+    ).select("keeper_id", "n_copies")
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """8 min-wise hashes per doc: min over md5('<seed>|' || shingle)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signatures (2 rows/band) and self-join on band key."""
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (integer output:
+    intersection + union sizes; thresholds compare integers)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # intersection via one join on shingle between the two sides
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a").join(sh_b, ["id_b", "shingle"]).groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("long").alias("n_union"),
+        )
+    )
+    return out
+
+
+def dedup_minhash_lsh(spark: SparkSession) -> DataFrame:
+    """Full MinHash-LSH dedup: near-dup pairs at Jaccard >= 0.5
+    (verified exactly; LSH only generates candidates)."""
+    corpus = corpus_df(spark)
+    sh = shingles(corpus)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    j = exact_jaccard(pairs, sh)
+    return j.filter(F.col("n_inter") * 2 >= F.col("n_union")).select(
+        "id_a", "id_b", "n_inter", "n_union"
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession) -> DataFrame:
+    """n-gram Jaccard near-dup with rare-shingle candidate pruning:
+    candidates share >=1 shingle of document frequency <= RARE_DF,
+    then exact Jaccard >= 0.3 (integer form 10*inter >= 3*union)."""
+    corpus = corpus_df(spark)
+    sh = shingles(corpus)
+    rare = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= RARE_DF)
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    rsh = sh.join(rare, "shingle")
+    pairs = (
+        rsh.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(rsh.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    j = exact_jaccard(pairs, sh)
+    return j.filter(F.col("n_inter") * 10 >= F.col("n_union") * 3).select(
+        "id_a", "id_b", "n_inter", "n_union"
+    )
+
+
+def simhash_signatures(spark: SparkSession, n_bits: int = 16) -> DataFrame:
+    """SimHash over shingle md5s: bit j of the signature is the sign of
+    sum(+-1) where +-1 comes from the parity of hex digit j of each
+    shingle's md5. Pure built-ins (bit source = ascii(substr(md5,j,1))%2),
+    identical in the oracle."""
+    corpus = corpus_df(spark)
+    sh = shingles(corpus).withColumn("h", F.md5("shingle"))
+    bit_sums = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.ascii(F.substring("h", j + 1, 1)) % 2 == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"s{j}")
+            for j in range(n_bits)
+        ]
+    )
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{j}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << j))
+            for j in range(n_bits)
+        ).cast("long").alias("simhash"),
+    )
+    return sig

@@ -1,0 +1,86 @@
+"""Text-analysis operators: language-ID heuristic, quality scoring,
+token counting, document fingerprinting.
+
+All JVM-side built-ins (``regexp_count``, ``length``, ``md5``,
+higher-order array functions) — whole-stage codegen, no Python in the
+hot path, bit-identical DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# language marker words (function words per language) — a real n-gram
+# language-ID heuristic in miniature: score = marker hits / tokens.
+LANG_MARKERS = {
+    "en": r"\b(the|a|of|and)\b",
+    "de": r"\b(der|die|das|und)\b",
+    "fr": r"\b(le|la|et|des)\b",
+}
+
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+STOPWORD_RE = r"\b(the|a|and|of|to|in)\b"
+FP_GRAM = 8
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word counts per language + argmax prediction (ties ->
+    alphabetical first, deterministic)."""
+    cols = [
+        F.regexp_count(F.col("text"), F.lit(rx)).cast("long").alias(f"n_{lang}")
+        for lang, rx in LANG_MARKERS.items()
+    ]
+    d = docs.select("doc_id", *cols)
+    pred = (
+        F.when(
+            (F.col("n_en") >= F.col("n_de")) & (F.col("n_en") >= F.col("n_fr")), F.lit("en")
+        )
+        .when(F.col("n_de") >= F.col("n_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.withColumn("pred_lang", pred)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/punctuation/stopword-ratio quality features + a composite
+    score (all integer/double column math)."""
+    n_tokens = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+")).cast("long")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("long")
+    n_stop = F.regexp_count(F.col("text"), F.lit(STOPWORD_RE)).cast("long")
+    d = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+    )
+    return d.select(
+        "*",
+        (F.col("n_stop").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")).alias(
+            "stop_ratio"
+        ),
+        (
+            F.col("n_tokens").cast("double") / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+            - F.col("n_punct").cast("double") / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+        ).alias("qscore"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish subtoken count (regex classes)."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("long").alias("n_subtokens"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over rolling char 8-grams
+    (JVM: sequence + transform + array_min)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {FP_GRAM - 1}, 1)),"
+        f" i -> md5(substring(text, i, {FP_GRAM})))"
+    )
+    return docs.select("doc_id", F.array_min(grams).alias("fingerprint"))

@@ -420,6 +420,266 @@ WHERE lon_norm >= -180.0 AND lon_norm < 180.0 AND lat > 60.0 AND lat <= 84.0
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+from smart_geocubes_spark.operators.dedup import (  # noqa: E402
+    CORPUS_SQL,
+    N_BANDS,
+    N_MINHASH,
+    corpus_df,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    simhash_signatures,
+)
+from smart_geocubes_spark.sources.synth import ensure_base_views  # noqa: E402
+
+_SHINGLE_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS shingle
+  FROM corpus, generate_series(1, 600) t(i)
+  WHERE i <= greatest(length(text) - 11, 1)
+)"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_base_views(spark, sf_dir)
+    return dedup_exact(corpus_df(spark))
+
+
+SQL_DEDUP_EXACT = f"""WITH corpus AS ({CORPUS_SQL})
+SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY text
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_base_views(spark, sf_dir)
+    return dedup_minhash_lsh(spark)
+
+
+_SIG_COLS = ",\n         ".join(
+    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_MINHASH)
+)
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_idx, md5(h{2 * b} || h{2 * b + 1}) AS band_key FROM sig"
+    for b in range(N_BANDS)
+)
+
+SQL_DEDUP_MINHASH = f"""WITH corpus AS ({CORPUS_SQL}),
+{_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, {_SIG_COLS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BAND_SELECTS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_inter,
+       CAST(za.sz + zb.sz - i.n_inter AS BIGINT) AS n_union
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.n_inter * 2 >= za.sz + zb.sz - i.n_inter
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_base_views(spark, sf_dir)
+    return dedup_ngram_jaccard(spark)
+
+
+SQL_DEDUP_NGRAM = f"""WITH corpus AS ({CORPUS_SQL}),
+{_SHINGLE_CTE},
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 5
+),
+rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_inter,
+       CAST(za.sz + zb.sz - i.n_inter AS BIGINT) AS n_union
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.n_inter * 10 >= (za.sz + zb.sz - i.n_inter) * 3
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_base_views(spark, sf_dir)
+    return simhash_signatures(spark)
+
+
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN ascii(substr(h, {j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) > 0"
+    f" THEN 1 ELSE 0 END) * {1 << j}"
+    for j in range(16)
+)
+
+SQL_SIMHASH = f"""WITH corpus AS ({CORPUS_SQL}),
+{_SHINGLE_CTE},
+sh2 AS (SELECT doc_id, md5(shingle) AS h FROM sh)
+SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+FROM sh2 GROUP BY doc_id
+"""
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.similarity import ann_cosine_topk
+
+    ensure_base_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ann_cosine_topk(spark, emb, k=5)
+
+
+_COS_EXPR = (
+    "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * q.v[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))"
+    " * sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))))"
+)
+
+SQL_ANN_COSINE = f"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v FROM base WHERE vec_id % 25 = 0)
+SELECT qid, neighbor_id, rank FROM (
+  SELECT q.qid, a.vec_id AS neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY q.qid ORDER BY {_COS_EXPR} DESC, a.vec_id ASC
+         ) AS BIGINT) AS rank
+  FROM base a CROSS JOIN q
+  WHERE a.vec_id <> q.qid
+) r WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.similarity import embedding_neardup_pairs
+
+    ensure_base_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return embedding_neardup_pairs(spark, emb, tau=0.45)
+
+
+SQL_EMBEDDING_NEARDUP = """WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, q.vec_id AS id_b
+FROM base a JOIN base q ON a.vec_id < q.vec_id
+WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * q.v[i]))
+      / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+         * sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i])))) >= 0.45
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH-bucketed, multiprobe) ANN — not SQL-expressible
+    bit-for-bit (numpy hyperplanes), driver records rows-only."""
+    from smart_geocubes_spark.operators.similarity import ann_lsh_topk
+
+    ensure_base_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ann_lsh_topk(spark, emb, k=5)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.textstats import lang_id
+
+    ensure_base_views(spark, sf_dir)
+    return lang_id(spark.table("documents"))
+
+
+SQL_LANG_ID = r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS BIGINT) AS n_en,
+       CAST(len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS BIGINT) AS n_de,
+       CAST(len(regexp_extract_all(text, '\b(le|la|et|des)\b')) AS BIGINT) AS n_fr,
+       CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|and)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und)\b'))
+             AND len(regexp_extract_all(text, '\b(the|a|of|and)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|des)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(text, '\b(der|die|das|und)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|des)\b'))
+            THEN 'de' ELSE 'fr' END AS pred_lang
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.textstats import quality_score
+
+    ensure_base_views(spark, sf_dir)
+    return quality_score(spark.table("documents"))
+
+
+SQL_QUALITY = r"""WITH d AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in)\b')) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT *,
+       CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+       CAST(n_tokens AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)
+         - CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS qscore
+FROM d
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.textstats import token_counts
+
+    ensure_base_views(spark, sf_dir)
+    return token_counts(spark.table("documents"))
+
+
+SQL_TOKEN_COUNT = r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.textstats import doc_fingerprint
+
+    ensure_base_views(spark, sf_dir)
+    return doc_fingerprint(spark.table("documents"))
+
+
+SQL_DOC_FINGERPRINT = """SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 8))) AS fingerprint
+FROM documents, generate_series(1, 600) t(i)
+WHERE i <= greatest(length(text) - 7, 1)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -436,6 +696,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats": q_zonal_stats,
     "chunk_plan_antijoin": q_chunk_plan,
     "antimeridian_norm": q_antimeridian,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "simhash": q_simhash,
+    "ann_cosine_topk": q_ann_cosine,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh_topk": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
 }
 
 ORACLES: dict[str, str] = {
@@ -451,4 +722,15 @@ ORACLES: dict[str, str] = {
     "zonal_stats": SQL_ZONAL_STATS,
     "chunk_plan_antijoin": SQL_CHUNK_PLAN,
     "antimeridian_norm": SQL_ANTIMERIDIAN,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "simhash": SQL_SIMHASH,
+    "ann_cosine_topk": SQL_ANN_COSINE,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    # ann_lsh_topk: numpy hyperplane buckets, rows-only check (no oracle)
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
 }
