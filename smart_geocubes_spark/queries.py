@@ -680,6 +680,294 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# relational breadth (SURVEY §2.3-2.8 mappings over the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+# Float SUMs differ across engines by summation order, so money/values
+# are aggregated as integer cents (exact in both) and ratios are single
+# double divisions of those integers.
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-measure hash aggregation with map-side
+    partial aggregation (A1/A4 class)."""
+    ensure_base_views(spark, sf_dir)
+    li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).cast("long").alias("sum_qty_c"),
+            F.sum(cents("l_extendedprice")).cast("long").alias("sum_price_c"),
+            F.count("*").cast("long").alias("n_rows"),
+            (
+                F.sum(cents("l_discount")).cast("double") / F.count("*").cast("double")
+            ).alias("avg_disc_c"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc_c
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast dim join + shuffle fact join + top-k
+    (sort/limit with deterministic tie-break)."""
+    ensure_base_views(spark, sf_dir)
+    cust = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = spark.table("orders")
+    li = spark.table("lineitem")
+    rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("long").alias("revenue_c"))
+    )
+    return j.orderBy(F.col("revenue_c").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+SQL_TOPK_REVENUE = """SELECT o_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+ORDER BY revenue_c DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user cumulative sum (window, rows unbounded
+    preceding; integer cents so both engines accumulate exactly)."""
+    from pyspark.sql import Window
+
+    ensure_base_views(spark, sf_dir)
+    ev = spark.table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("long").alias("run_cents"),
+    )
+
+
+SQL_WINDOW_RUNNING = """SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS run_cents
+FROM events
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative sum of session
+    breaks, gap > 1800 s) — J6/streaming-sessionization analog in batch."""
+    from pyspark.sql import Window
+
+    ensure_base_views(spark, sf_dir)
+    # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast
+    # matches DuckDB's epoch_us on the naive value
+    ev = spark.table("events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
+    gap = F.col("us") - F.lag("us", 1).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    return ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+    ).select("event_id", "user_id", "session_seq")
+
+
+SQL_SESSIONIZE = """WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+),
+g AS (
+  SELECT event_id, user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+                   > 1800 * 1000000
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+)
+SELECT event_id, user_id,
+       CAST(sum(is_new) OVER (
+         PARTITION BY user_id ORDER BY us ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS session_seq
+FROM g
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.6): customers with orders but no high-value
+    order (EXCEPT), tagged against those with both (INTERSECT)."""
+    ensure_base_views(spark, sf_dir)
+    orders = spark.table("orders")
+    any_c = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    high_c = (
+        orders.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    exc = any_c.exceptAll(high_c).withColumn("tag", F.lit("low_only"))
+    inter = any_c.intersect(high_c).withColumn("tag", F.lit("has_high"))
+    return exc.unionByName(inter)
+
+
+SQL_SET_OPS = """WITH any_c AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+high_c AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000)
+SELECT custkey, 'low_only' AS tag FROM (SELECT custkey FROM any_c EXCEPT SELECT custkey FROM high_c)
+UNION ALL
+SELECT custkey, 'has_high' AS tag FROM (SELECT custkey FROM any_c INTERSECT SELECT custkey FROM high_c)
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (partial+final agg demo, §2.4)."""
+    ensure_base_views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+SQL_ROLLUP = """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (§2.7): string/date/math/JSON built-ins."""
+    ensure_base_views(spark, sf_dir)
+    ev = spark.table("events")
+    return ev.select(
+        "event_id",
+        F.upper(F.col("event_type")).alias("etype_u"),
+        F.substring(F.col("event_type"), 1, 3).alias("etype_3"),
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias("tag"),
+        F.date_format(F.col("ts"), "yyyy-MM").alias("month_str"),
+        F.year(F.col("ts")).cast("long").alias("yr"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        F.abs(F.round(F.col("value") * 100).cast("long")).alias("abs_cents"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("long").alias("id_mod7"),
+    )
+
+
+SQL_SCALAR_FUNCS = """SELECT event_id,
+       upper(event_type) AS etype_u,
+       substr(event_type, 1, 3) AS etype_3,
+       event_type || '-' || CAST(user_id AS STRING) AS tag,
+       strftime(ts, '%Y-%m') AS month_str,
+       CAST(year(ts) AS BIGINT) AS yr,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       abs(CAST(round(value * 100) AS BIGINT)) AS abs_cents,
+       CAST(((event_id % 7) + 7) % 7 AS BIGINT) AS id_mod7
+FROM events
+"""
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (J2/J7 class) over customer/orders."""
+    ensure_base_views(spark, sf_dir)
+    cust = spark.table("customer")
+    ok = spark.table("orders").select("o_custkey")
+    semi = cust.join(ok, cust["c_custkey"] == ok["o_custkey"], "left_semi").select(
+        "c_custkey"
+    ).withColumn("tag", F.lit("active"))
+    anti = cust.join(ok, cust["c_custkey"] == ok["o_custkey"], "left_anti").select(
+        "c_custkey"
+    ).withColumn("tag", F.lit("inactive"))
+    return semi.unionByName(anti)
+
+
+SQL_SEMI_ANTI = """SELECT c_custkey, 'active' AS tag FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'inactive' AS tag FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation over the Zipfian host_id key —
+    result provably identical to the plain groupBy (the oracle IS the
+    plain groupBy)."""
+    from smart_geocubes_spark.operators.skew import salted_count_sum
+
+    pages = pages_df(spark, sf_dir).select("page_id", "host_id")
+    return salted_count_sum(pages, key="host_id", salt_src="page_id", sum_col="page_id")
+
+
+SQL_SALTED_AGG = f"""WITH pages AS ({pages_sql("orders")})
+SELECT host_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(page_id) AS BIGINT) AS sum_page_id
+FROM pages GROUP BY 1
+"""
+
+
+def q_coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN-coalesce block merge (reference O10, core/backend.py:266-271):
+    an incoming patch with NaN border pixels must not clobber existing
+    cube data — nanvl/zip_with merge, closed-form oracle."""
+    from smart_geocubes_spark.operators.zonal import roi_tiles_df
+
+    tiles = roi_tiles_df(spark, GRID, [ZONAL_ROIS[0]])
+    n_px = GRID.chunk_px * GRID.chunk_px
+    base = F.col("tile_y") * F.lit(1000.0) + F.col("tile_x")
+    old_block = F.expr(f"transform(sequence(0, {n_px - 1}), p -> tile_y * 1000.0D + tile_x + p * 0.5D)")
+    new_block = F.expr(
+        f"transform(sequence(0, {n_px - 1}),"
+        f" p -> CASE WHEN p % 97 = 0 THEN double('NaN')"
+        f" ELSE tile_y * 1000.0D + tile_x + p * 0.5D + 100.0D END)"
+    )
+    merged = F.zip_with(new_block, old_block, lambda n, o: F.nanvl(n, o))
+    df = tiles.select(
+        "tile_id",
+        F.aggregate(merged, F.lit(0.0), lambda a, x: a + x).alias("merged_sum"),
+    )
+    return df
+
+
+# closed form: sum_p (base + 0.5 p) + 100 * |{p: p%97 != 0}|
+_N_PX_Z = GRID.chunk_px * GRID.chunk_px
+_N_NAN = (_N_PX_Z - 1) // 97 + 1
+_MERGE_CONST = 0.5 * (_N_PX_Z - 1) * _N_PX_Z / 2 + 100.0 * (_N_PX_Z - _N_NAN)
+
+SQL_COALESCE_MERGE = f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {_zonal_tile_ranges()[0]}
+)
+SELECT tile_id,
+       (ty * 1000.0 + tx) * {_N_PX_Z} + {_MERGE_CONST!r} AS merged_sum
+FROM ztf
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -707,6 +995,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "pricing_summary": q_pricing_summary,
+    "topk_revenue": q_topk_revenue,
+    "window_running": q_window_running,
+    "sessionize": q_sessionize,
+    "set_ops": q_set_ops,
+    "rollup_counts": q_rollup,
+    "scalar_funcs": q_scalar_funcs,
+    "semi_anti_join": q_semi_anti,
+    "salted_agg": q_salted_agg,
+    "coalesce_merge": q_coalesce_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -733,4 +1031,14 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "topk_revenue": SQL_TOPK_REVENUE,
+    "window_running": SQL_WINDOW_RUNNING,
+    "sessionize": SQL_SESSIONIZE,
+    "set_ops": SQL_SET_OPS,
+    "rollup_counts": SQL_ROLLUP,
+    "scalar_funcs": SQL_SCALAR_FUNCS,
+    "semi_anti_join": SQL_SEMI_ANTI,
+    "salted_agg": SQL_SALTED_AGG,
+    "coalesce_merge": SQL_COALESCE_MERGE,
 }
