@@ -968,6 +968,110 @@ FROM ztf
 
 
 # ---------------------------------------------------------------------------
+# multimodal binary columns (decode / resize / audio features / frame
+# sampling as Arrow kernels over real binary payloads; the deterministic
+# RAW format makes the oracles closed-form — see operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+_N_MEDIA = 200
+
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.multimodal import decode_image_stats, media_table
+
+    return decode_image_stats(media_table(spark, _N_MEDIA, "image"))
+
+
+SQL_IMAGE_DECODE = f"""WITH m AS (
+  SELECT range AS media_id, 32 + range % 64 AS w, 24 + range % 48 AS h
+  FROM range({_N_MEDIA})
+)
+SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum((media_id * 7 + p * 13) % 256) AS BIGINT) AS sum_pixels
+FROM m, generate_series(0, 6999) t(p)
+WHERE p < w * h
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.multimodal import media_table, resize_image_halve
+
+    r = resize_image_halve(media_table(spark, _N_MEDIA, "image"))
+    return r.select("media_id", "width", "height", "sum_pixels")
+
+
+SQL_IMAGE_RESIZE = f"""WITH m AS (
+  SELECT range AS media_id, 32 + range % 64 AS w, 24 + range % 48 AS h
+  FROM range({_N_MEDIA})
+),
+m2 AS (
+  SELECT media_id, w, h,
+         CAST(floor(w / 2.0) AS BIGINT) AS w2,
+         CAST(floor(h / 2.0) AS BIGINT) AS h2
+  FROM m
+)
+SELECT media_id, CAST(w2 AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height,
+       CAST(sum(CAST(floor((
+           ((media_id * 7 + ((2 * r) * w + 2 * c) * 13) % 256)
+         + ((media_id * 7 + ((2 * r) * w + 2 * c + 1) * 13) % 256)
+         + ((media_id * 7 + ((2 * r + 1) * w + 2 * c) * 13) % 256)
+         + ((media_id * 7 + ((2 * r + 1) * w + 2 * c + 1) * 13) % 256)
+       ) / 4.0) AS BIGINT)) AS BIGINT) AS sum_pixels
+FROM m2, generate_series(0, 49) tr(r), generate_series(0, 59) tc(c)
+WHERE r < h2 AND c < w2
+GROUP BY 1, 2, 3
+"""
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.multimodal import audio_features, media_table
+
+    return audio_features(media_table(spark, _N_MEDIA, "audio"))
+
+
+SQL_AUDIO_FEATURES = f"""WITH m AS (
+  SELECT range AS media_id, 2000 + (range % 10) * 100 AS n
+  FROM range({_N_MEDIA})
+),
+s AS (
+  SELECT media_id, n, i,
+         ((media_id * 31 + i * 17) % 4096) - 2048 AS v
+  FROM m, generate_series(0, 2999) t(i)
+  WHERE i < n
+),
+z AS (
+  SELECT media_id, n, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY i ASC) AS pv
+  FROM s
+)
+SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+FROM z GROUP BY 1, 2
+"""
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.operators.multimodal import media_table, sample_video_frames
+
+    return sample_video_frames(media_table(spark, _N_MEDIA, "video"), every=3)
+
+
+SQL_VIDEO_FRAMES = f"""WITH m AS (
+  SELECT range AS media_id, 4 + range % 8 AS nf
+  FROM range({_N_MEDIA})
+)
+SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(sum((media_id * 7 + f * 11 + p * 13) % 256) AS BIGINT) AS frame_sum
+FROM m, generate_series(0, 11) tf(f), generate_series(0, 255) tp(p)
+WHERE f < nf AND f % 3 = 0
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1005,6 +1109,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_join": q_semi_anti,
     "salted_agg": q_salted_agg,
     "coalesce_merge": q_coalesce_merge,
+    "image_decode": q_image_decode,
+    "image_resize": q_image_resize,
+    "audio_features": q_audio_features,
+    "video_frame_sample": q_video_frames,
 }
 
 ORACLES: dict[str, str] = {
@@ -1041,4 +1149,8 @@ ORACLES: dict[str, str] = {
     "semi_anti_join": SQL_SEMI_ANTI,
     "salted_agg": SQL_SALTED_AGG,
     "coalesce_merge": SQL_COALESCE_MERGE,
+    "image_decode": SQL_IMAGE_DECODE,
+    "image_resize": SQL_IMAGE_RESIZE,
+    "audio_features": SQL_AUDIO_FEATURES,
+    "video_frame_sample": SQL_VIDEO_FRAMES,
 }
