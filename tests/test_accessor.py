@@ -1,0 +1,87 @@
+"""Accessor API parity tests — mirror the reference's accessor tests
+(tests/test_creation.py, tests/test_arcticdem.py, tests/test_tctrend.py)
+in hermetic form: creation/exists semantics, golden load stats,
+idempotent concurrent-style refills, load_like, current_state."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_geocubes_spark.accessor import arcticdem_like, tctrend_like
+
+ROI_POLAR = (-800_000.0, -1_500_000.0, -300_000.0, -1_000_000.0)  # EPSG:3413 meters
+ROI_4326 = (19.3, 69.1, 23.8, 71.2)
+
+
+def test_create_exists_overwrite(spark, tmp_path):
+    acc = arcticdem_like(spark, str(tmp_path / "adem"))
+    assert not acc.created
+    acc.create()
+    assert acc.created
+    with pytest.raises(FileExistsError):
+        acc.create()
+    acc.create(overwrite=True)  # reference overwrite path
+    assert acc.created
+    # grid layout pinned (mirrors test_creation.py:77-87)
+    assert acc.spec.grid.n_tiles_x == 25 and acc.spec.grid.n_tiles_y == 25
+    assert acc.spec.grid.tile_size == 320_000.0
+
+
+def test_load_golden_stats(spark, tmp_path):
+    """load() returns the ROI crop; zonal stats hit the closed-form
+    golden values (mirrors tests/test_arcticdem.py:26-29)."""
+    acc = arcticdem_like(spark, str(tmp_path / "adem"))
+    df = acc.load(ROI_POLAR, create=True)
+    # tiles tx 10..11 (x -800k..-300k => (x+4e6)/320k = 10.0..11.56),
+    # ty 15..16 ((4e6-y)/320k: y -1e6 -> 15.6, y -1.5e6 -> 17.1 -> 15..17)
+    assert df.count() == 2 * 3 * 2  # 2 channels x (2x3 tiles)
+    row = (
+        df.filter((F.col("tile_x") == 10) & (F.col("tile_y") == 15) & (F.col("channel") == "dem"))
+        .select(F.array_min("block").alias("mn"), F.array_max("block").alias("mx"))
+        .collect()[0]
+    )
+    assert row.mn == 15 * 1000 + 10
+    assert row.mx == 15 * 1000 + 10 + 0.5 * 9999
+
+
+def test_refill_idempotent_and_loaded_patches(spark, tmp_path):
+    acc = arcticdem_like(spark, str(tmp_path / "adem"))
+    acc.create()
+    m1 = acc.fill(ROI_POLAR)
+    m2 = acc.fill(ROI_POLAR)
+    assert m1["written"] == 12 and m2["written"] == 0
+    assert len(acc.loaded_patches()) == 12
+    st = acc.current_state()
+    assert st is not None and len(st) == 12
+    assert set(st.channel) == {"dem", "datamask"}
+    met = acc.metrics()
+    assert (met["written"].sum()) == 12
+
+
+def test_temporal_toi_guard_and_load(spark, tmp_path):
+    acc = tctrend_like(spark, str(tmp_path / "tc"))
+    acc.create()
+    # TOI on an atemporal cube must fail (reference assert_temporal_cube)
+    acc2 = arcticdem_like(spark, str(tmp_path / "a2"))
+    acc2.create()
+    with pytest.raises(ValueError):
+        acc2.load(ROI_POLAR, toi_epochs=[1577836800])
+    df = acc.load(ROI_4326, toi_epochs=[1609459200])
+    # 4x2 tiles x 3 channels x 1 time step
+    assert df.count() == 4 * 2 * 3
+    assert df.select("time_idx").distinct().collect()[0][0] == 1
+
+
+def test_load_like(spark, tmp_path):
+    acc = arcticdem_like(spark, str(tmp_path / "adem"))
+    ref = acc.load(ROI_POLAR, create=True)
+    again = acc.load_like(ref)
+    assert again.count() == ref.count()
+    assert acc.fill(ROI_POLAR)["written"] == 0  # load_like added nothing new
+
+
+def test_current_state_none_when_empty(spark, tmp_path):
+    acc = arcticdem_like(spark, str(tmp_path / "adem"))
+    acc.create()
+    assert acc.current_state() is None
