@@ -299,10 +299,22 @@ def load(
     # visibility: a block row is visible iff a committed lineage row
     # names BOTH its chunk_key AND its batch_id — orphan blocks from a
     # crashed batch never match even when a later batch re-wrote the
-    # same chunk (icechunk-commit visibility semantics).
+    # same chunk (icechunk-commit visibility semantics). CONCURRENT
+    # fills may both commit the same chunk (both planned against the
+    # pre-commit lineage — the reference resolves this with icechunk
+    # conflict retries, backends/threaded.py:85-99); we resolve it at
+    # read: exactly one winning batch per chunk_key (min batch_id,
+    # deterministic; block content is deterministic so any winner is
+    # correct).
+    from pyspark.sql import Window
+
     lineage = read_lineage(spark, path).select("chunk_key", "batch_id").distinct()
+    w = Window.partitionBy("chunk_key").orderBy(F.col("batch_id").asc())
+    winners = (
+        lineage.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
     df = df.withColumn(
         "chunk_key",
         F.concat_ws("-", F.col("time_idx"), F.col("tile_y"), F.col("tile_x"), F.col("channel")),
     )
-    return df.join(F.broadcast(lineage), ["chunk_key", "batch_id"], "left_semi")
+    return df.join(F.broadcast(winners), ["chunk_key", "batch_id"], "left_semi")

@@ -57,8 +57,13 @@ pts AS (
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-side geoparsed points: REAL path (regex pandas UDF over
     url), not the generator's lat_e5 columns — the oracle cross-checks
-    the parse."""
-    pages = pages_df(spark, sf_dir).select("page_id", "url", "warc_epoch", "host_id")
+    the parse. The driver parquet is one input split, so the source is
+    spread across the session's parallelism before the UDF runs (at
+    production scale the Iceberg table's splits do this)."""
+    dp = spark.sparkContext.defaultParallelism
+    pages = pages_df(spark, sf_dir, parallelism=dp).select(
+        "page_id", "url", "warc_epoch", "host_id"
+    )
     return geoparsed_points(pages)
 
 
@@ -81,7 +86,7 @@ FROM pages WHERE url LIKE '%/geo/%'
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frozen html->text extractor run as an Arrow UDF over the
     html BINARY column; oracle reconstructs the closed-form text."""
-    pages = pages_df(spark, sf_dir)
+    pages = pages_df(spark, sf_dir, parallelism=spark.sparkContext.defaultParallelism)
     return pages.select("page_id", extract_text_udf()(F.col("html")).alias("text"))
 
 

@@ -134,3 +134,32 @@ def test_temporal_cube(spark, tmp_path):
     # full-TOI fill adds only the other step
     m2 = materialize(spark, path, ROI_A)
     assert m2["written"] == 9
+
+
+def test_concurrent_fills_no_duplicates(spark, cube):
+    """Reference concurrency semantics (tests/test_arcticdem.py:75-101):
+    overlapping ROIs filled from multiple threads concurrently must end
+    in a consistent cube — every chunk visible exactly once, golden
+    values intact — even when racing batches double-commit a chunk."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rois = [ROI_A, ROI_B, (2.9, 14.8, 5.9, 17.2)]
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [ex.submit(materialize, spark, cube, r) for r in rois]
+        for f in futs:
+            f.result()
+    big = (2.0, 14.0, 7.0, 18.0)
+    df = load(spark, cube, big)
+    n = df.count()
+    assert n == df.select("chunk_key").distinct().count()  # no dup chunks
+    # every candidate of the union ROI set is present
+    spec = open_spec(cube)
+    want = set()
+    for r in rois:
+        for tx, ty in spec.grid.tiles_overlapping_bbox(*r):
+            for ch in ("dem", "slope"):
+                want.add(f"-1-{ty}-{tx}-{ch}")
+    got = {r.chunk_key for r in df.select("chunk_key").collect()}
+    assert got == want
+    # rerun writes nothing
+    assert materialize(spark, cube, ROI_A)["written"] == 0
