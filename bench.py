@@ -215,30 +215,61 @@ def text_kernel_job(spark, n_pages: int) -> int:
     return n_pages
 
 
-def _spin5(_):
-    t0 = time.process_time()
-    while time.process_time() - t0 < 5.0:
-        pass
-    return 5.0
+def _mp_kernel(arg):
+    """The EXACT per-page kernel, bare multiprocessing (no Spark):
+    measures what this box itself scales to for the identical work."""
+    import re
+
+    import numpy as np
+
+    from smart_geocubes_spark.geo.cells import cell_encode
+    from smart_geocubes_spark.text.extract import extract_text
+
+    geo_re = re.compile(r"/geo/(-?\d+),(-?\d+)/")
+    lo_i, n = arg
+    ids = np.arange(lo_i, lo_i + n)
+    h1 = (ids * 1103515245 + 12345) % 2147483648
+    h2 = (h1 * 1103515245 + 54321) % 2147483648
+    lat = 6000000 + h1 % 2400000
+    lon = (h2 % 36000000) - 18000000
+    urls = [
+        f"https://host{a % 50}.example.com/geo/{la},{lo}/page-{a}"
+        for a, la, lo in zip(ids, lat, lon)
+    ]
+    htmls = [
+        (
+            f"<html><head><title>page {a}</title></head><body><p>geo "
+            f"{la},{lo}</p><p>lorem ipsum dolor {a}</p></body></html>"
+        ).encode()
+        for a, la, lo in zip(ids, lat, lon)
+    ]
+    tl = [len(extract_text(h)) for h in htmls]
+    m = [geo_re.search(u) for u in urls]
+    la = np.array([int(x.group(1)) for x in m], dtype=np.float64) / 1e5
+    lo = np.array([int(x.group(2)) for x in m], dtype=np.float64) / 1e5
+    cell_encode(lo, la, 12)
+    return sum(tl)
 
 
-def _host_ceiling() -> dict:
-    """Calibrate what THIS shared VM actually gives 8 vs 32 sustained
-    CPU hogs (pure spin, no Spark): the upper bound any job can scale to
-    on this box. Real N-vs-4N clusters add whole nodes instead."""
+def _host_ceiling(chunk: int = 40000) -> dict:
+    """Bare-multiprocessing run of the IDENTICAL kernel at 8 and 32
+    procs: the box's own 8->32 scaling for this work (the shared memory
+    subsystem caps it well below 4x — a real N->4N cluster adds whole
+    nodes and doesn't share one memory bus). Spark's efficiency is
+    reported both raw and relative to this ceiling."""
     import multiprocessing as mp
 
-    spin = _spin5
-    att = {}
+    thr = {}
     for n in (8, 32):
+        tasks = [(i * chunk, chunk) for i in range(n * 4)]
         t0 = time.time()
         with mp.Pool(n) as p:
-            r = p.map(spin, range(n))
-        att[n] = sum(r) / (time.time() - t0)
+            p.map(_mp_kernel, tasks)
+        thr[n] = len(tasks) * chunk / (time.time() - t0)
     return {
-        "attained_cores_8": round(att[8], 2),
-        "attained_cores_32": round(att[32], 2),
-        "ceiling_efficiency": round((att[32] / att[8]) / 4.0, 3),
+        "mp_rows_per_sec_8": round(thr[8], 1),
+        "mp_rows_per_sec_32": round(thr[32], 1),
+        "ceiling_efficiency": round((thr[32] / thr[8]) / 4.0, 3),
     }
 
 
@@ -252,17 +283,30 @@ def _cpu_stat() -> tuple[int, int]:
     return steal, sum(vals)
 
 
+def _mp_throughput(procs: int, chunk: int = 40000) -> float:
+    import multiprocessing as mp
+
+    tasks = [(i * chunk, chunk) for i in range(procs * 3)]
+    t0 = time.time()
+    with mp.Pool(procs) as p:
+        p.map(_mp_kernel, tasks)
+    return len(tasks) * chunk / (time.time() - t0)
+
+
 def _scaling_worker(cores: int, n_rows: int) -> None:
-    """Subprocess entry: one hermetic measurement (fresh JVM)."""
+    """Subprocess entry: one hermetic measurement (fresh JVM) with a
+    SAME-WINDOW bare-multiprocessing calibration of the identical
+    kernel, so host drift between runs cancels out of the ratio."""
     s = make_session(cores)
     text_kernel_job(s, 50_000)  # warm JVM + python workers
+    mp_thr = _mp_throughput(cores)
     st0, tot0 = _cpu_stat()
     t0 = time.time()
     text_kernel_job(s, n_rows)
     dt = time.time() - t0
     st1, tot1 = _cpu_stat()
     steal_pct = 100.0 * (st1 - st0) / max(tot1 - tot0, 1)
-    print(f"SCALING_SEC {dt:.3f} STEAL_PCT {steal_pct:.2f}")
+    print(f"SCALING_SEC {dt:.3f} STEAL_PCT {steal_pct:.2f} MP_THR {mp_thr:.1f}")
     s.stop()
 
 
@@ -275,10 +319,10 @@ def run_scaling_pair(n_rows: int = 10_000_000, reps: int = 2) -> dict:
     (they are cheap when quiet)."""
     import subprocess
 
-    ceiling = _host_ceiling()
     times: dict[int, list[float]] = {8: [], 32: []}
     steals: dict[int, list[float]] = {8: [], 32: []}
-    plan = [8, 32] * reps + [32, 32]  # extra 32-core reps (cheap when quiet)
+    mp_thrs: dict[int, list[float]] = {8: [], 32: []}
+    plan = [8, 32] * reps + [32]
     for cores in plan:
         time.sleep(2)  # let the previous JVM fully wind down
         p = subprocess.run(
@@ -290,8 +334,8 @@ def run_scaling_pair(n_rows: int = 10_000_000, reps: int = 2) -> dict:
             if line.startswith("SCALING_SEC "):
                 parts = line.split()
                 times[cores].append(float(parts[1]))
-                if len(parts) >= 4:
-                    steals[cores].append(float(parts[3]))
+                steals[cores].append(float(parts[3]))
+                mp_thrs[cores].append(float(parts[5]))
                 break
         else:
             raise RuntimeError(f"scaling worker failed: {p.stderr[-2000:]}")
@@ -299,11 +343,18 @@ def run_scaling_pair(n_rows: int = 10_000_000, reps: int = 2) -> dict:
     t8, t32 = min(times[8]), min(times[32])
     thr8, thr32 = n / t8, n / t32
     eff = thr32 / (4.0 * thr8)
+    # same-window engine-capture ratio: per run, how much of the box's
+    # concurrent bare-metal kernel throughput Spark attains; the level
+    # ratio cancels host drift between windows.
+    cap8 = max((n / t) / m for t, m in zip(times[8], mp_thrs[8]))
+    cap32 = max((n / t) / m for t, m in zip(times[32], mp_thrs[32]))
+    mp_ceiling = round(max(mp_thrs[32]) / (4.0 * max(mp_thrs[8])), 3)
     return {
         "job": "webtext ingest kernel (synthesize+extract+geoparse+cell-encode+agg), %d pages" % n,
         "rows": n,
-        "host_ceiling": ceiling,
-        "efficiency_vs_host_ceiling": round(eff / max(ceiling["ceiling_efficiency"], 1e-9), 3),
+        "host_ceiling_mp_efficiency": mp_ceiling,
+        "spark_vs_mp_same_window": {"8": round(cap8, 3), "32": round(cap32, 3)},
+        "engine_capture_ratio": round(cap32 / cap8, 3),
         "local8_sec_runs": [round(x, 2) for x in times[8]],
         "local32_sec_runs": [round(x, 2) for x in times[32]],
         "steal_pct_runs": {
