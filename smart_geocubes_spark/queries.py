@@ -973,6 +973,101 @@ FROM ztf
 
 
 # ---------------------------------------------------------------------------
+# polar-CRS tile assignment (P1 reprojection; reference reprojects every
+# AOI to the cube CRS, core/accessor.py:373). Trig projections differ by
+# ulps across libm implementations, so this is a rows-only check (the
+# projection itself is pinned against closed-form values in pytest).
+# ---------------------------------------------------------------------------
+
+
+def q_tile_assign_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_geocubes_spark.geo.geobox import polar_3413_grid
+    from smart_geocubes_spark.operators.tiles import make_tile_udf
+
+    grid = polar_3413_grid()
+    pts = _points(spark, sf_dir)
+    t = make_tile_udf(grid, "EPSG:3413")
+    out = pts.withColumn("t", t(F.col("lon"), F.col("lat")))
+    return (
+        out.filter(
+            (F.col("t.px") >= grid.geobox.x0)
+            & (F.col("t.px") < grid.geobox.x0 + grid.geobox.width * grid.geobox.res)
+            & (F.col("t.py") <= grid.geobox.y0)
+            & (F.col("t.py") > grid.geobox.y0 - grid.geobox.height * grid.geobox.res)
+        )
+        .groupBy(F.col("t.tile_id").alias("tile_id"))
+        .agg(F.count("*").cast("long").alias("n_pages"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal max-mosaic (A1: collapse the time axis with max, reference
+# accessors/stac.py:141-142) over closed-form temporal blocks
+# ---------------------------------------------------------------------------
+
+
+def q_temporal_max_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (tile, channel): max over the 4 time steps of the block mean.
+    Engine generates the temporal blocks (time shift +10/step) and
+    reduces with a real groupBy-max; oracle is closed form (max = last
+    step)."""
+    import pandas as pd
+
+    from smart_geocubes_spark.operators.zonal import roi_tiles_df
+
+    tiles = roi_tiles_df(spark, GRID, [ZONAL_ROIS[1]])
+    ch = spark.createDataFrame(pd.DataFrame({"channel": [c for c, _ in _ZONAL_CHANNELS]}))
+    times = spark.range(len(CUBE_TIME_EPOCHS)).selectExpr("CAST(id AS INT) AS time_idx")
+    cand = tiles.crossJoin(F.broadcast(ch)).crossJoin(F.broadcast(times))
+
+    # temporal block = atemporal block + 10*time_idx (materialize.py rule)
+    blocks = cand.mapInPandas(
+        lambda batches: _temporal_blocks(batches, GRID.chunk_px),
+        schema="tile_id long, channel string, time_idx int, mean_val double",
+    )
+    return blocks.groupBy("tile_id", "channel").agg(F.max("mean_val").alias("max_mean"))
+
+
+def _temporal_blocks(batches, chunk_px):
+    import numpy as np
+    import pandas as pd
+
+    from smart_geocubes_spark.plans.materialize import CHANNEL_OFFSETS, chunk_value_base
+
+    n_px = chunk_px * chunk_px
+    ramp = np.arange(n_px, dtype=np.float64) * 0.5
+    for b in batches:
+        off = b["channel"].map(CHANNEL_OFFSETS).fillna(0.0).to_numpy(dtype=np.float64)
+        base = chunk_value_base(
+            b["tile_y"].to_numpy(dtype=np.float64), b["tile_x"].to_numpy(dtype=np.float64), off
+        ) + b["time_idx"].to_numpy(dtype=np.float64) * 10.0
+        blocks = base[:, None] + ramp[None, :]
+        out = b[["tile_id", "channel", "time_idx"]].copy()
+        out["mean_val"] = blocks.mean(axis=1)
+        yield out
+
+
+SQL_TEMPORAL_MAX_MOSAIC = f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {_zonal_tile_ranges()[1]}
+),
+zc AS (
+  SELECT tile_id, tx, ty, channel, off
+  FROM ztf CROSS JOIN (VALUES {_ZONAL_CH_VALUES}) ch(channel, off)
+)
+SELECT tile_id, channel,
+       CAST(ty * 1000 + tx + off AS DOUBLE) + {0.5 * (_N_PX - 1) / 2.0!r}
+         + {(len(CUBE_TIME_EPOCHS) - 1) * 10.0!r} AS max_mean
+FROM zc
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal binary columns (decode / resize / audio features / frame
 # sampling as Arrow kernels over real binary payloads; the deterministic
 # RAW format makes the oracles closed-form — see operators/multimodal.py)
@@ -1114,6 +1209,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_join": q_semi_anti,
     "salted_agg": q_salted_agg,
     "coalesce_merge": q_coalesce_merge,
+    "tile_assign_polar": q_tile_assign_polar,
+    "temporal_max_mosaic": q_temporal_max_mosaic,
     "image_decode": q_image_decode,
     "image_resize": q_image_resize,
     "audio_features": q_audio_features,
@@ -1154,6 +1251,8 @@ ORACLES: dict[str, str] = {
     "semi_anti_join": SQL_SEMI_ANTI,
     "salted_agg": SQL_SALTED_AGG,
     "coalesce_merge": SQL_COALESCE_MERGE,
+    # tile_assign_polar: trig projection, rows-only (pinned in pytest)
+    "temporal_max_mosaic": SQL_TEMPORAL_MAX_MOSAIC,
     "image_decode": SQL_IMAGE_DECODE,
     "image_resize": SQL_IMAGE_RESIZE,
     "audio_features": SQL_AUDIO_FEATURES,
