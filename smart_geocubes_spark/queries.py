@@ -1171,6 +1171,28 @@ GROUP BY 1, 2
 """
 
 
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (ORDER-BY-free sort-based
+    agg; approx sketches are tested separately in pytest since their
+    estimates are engine-specific)."""
+    ensure_base_views(spark, sf_dir)
+    ev = spark.table("events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.percentile(cents, F.lit(0.5)).alias("p50"),
+        F.percentile(cents, F.lit(0.9)).alias("p90"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_PERCENTILE_STATS = """SELECT event_type,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1209,6 +1231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_join": q_semi_anti,
     "salted_agg": q_salted_agg,
     "coalesce_merge": q_coalesce_merge,
+    "percentile_stats": q_percentile_stats,
     "tile_assign_polar": q_tile_assign_polar,
     "temporal_max_mosaic": q_temporal_max_mosaic,
     "image_decode": q_image_decode,
@@ -1251,6 +1274,7 @@ ORACLES: dict[str, str] = {
     "semi_anti_join": SQL_SEMI_ANTI,
     "salted_agg": SQL_SALTED_AGG,
     "coalesce_merge": SQL_COALESCE_MERGE,
+    "percentile_stats": SQL_PERCENTILE_STATS,
     # tile_assign_polar: trig projection, rows-only (pinned in pytest)
     "temporal_max_mosaic": SQL_TEMPORAL_MAX_MOSAIC,
     "image_decode": SQL_IMAGE_DECODE,
