@@ -17,9 +17,12 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 def spark():
     from pyspark.sql import SparkSession
 
+    import tempfile
+
     s = (
         SparkSession.builder.master("local[8]")
         .appName("smart-geocubes-spark-tests")
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="sgs_wh_"))
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
