@@ -1193,6 +1193,80 @@ FROM events GROUP BY 1
 """
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (classic web-pipeline op): lowercase
+    scheme+host, strip fragment and trailing slash, extract host and
+    path — all JVM regexp built-ins."""
+    pages = pages_df(spark, sf_dir).select("page_id", "url")
+    canon = F.regexp_replace(F.col("url"), r"#.*$", "")
+    canon = F.regexp_replace(canon, r"/$", "")
+    return pages.select(
+        "page_id",
+        F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)).alias("host"),
+        F.regexp_extract(F.col("url"), r"^https?://[^/]+(/.*)?$", 1).alias("path"),
+        canon.alias("url_canon"),
+    )
+
+
+SQL_URL_CANONICALIZE = f"""{ORACLE_PREFIX}
+SELECT page_id,
+       lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+       regexp_extract(url, '^https?://[^/]+(/.*)?$', 1) AS path,
+       regexp_replace(regexp_replace(url, '#.*$', ''), '/$', '') AS url_canon
+FROM pages
+"""
+
+
+def q_text_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of document lengths (floor bucketing, 50-char bins)."""
+    ensure_base_views(spark, sf_dir)
+    d = spark.table("documents")
+    bucket = F.floor(F.length("text") / F.lit(50)).cast("long")
+    return d.groupBy(bucket.alias("len_bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+    )
+
+
+SQL_TEXT_LEN_HISTOGRAM = """SELECT CAST(floor(length(text) / 50) AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(length(text)) AS BIGINT) AS min_len,
+       CAST(max(length(text)) AS BIGINT) AS max_len
+FROM documents GROUP BY 1
+"""
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell rollup: encode at res 12, roll up to res 8 via
+    cell_parent (H3 cell_to_parent role), count per parent. The oracle
+    encodes DIRECTLY at res 8 — cross-checking that parent-of-res-12
+    equals encode-at-res-8 for every point."""
+    import pandas as _pd
+
+    from smart_geocubes_spark.geo.cells import cell_parent
+
+    pts = _points(spark, sf_dir)
+    cell12 = make_cell_udf(12)
+
+    def _parent8(cell):
+        return _pd.Series(cell_parent(cell.to_numpy(), 4))
+
+    parent8 = F.pandas_udf(_parent8, "long")
+
+    enc = pts.select(cell12(F.col("lon"), F.col("lat")).alias("c12"))
+    return enc.select(parent8(F.col("c12")).alias("cell8")).groupBy("cell8").agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+
+
+SQL_CELL_ROLLUP = f"""{ORACLE_PREFIX}
+SELECT {morton_cell_sql("lon", "lat", 8)} AS cell8,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM pts GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1232,6 +1306,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_agg": q_salted_agg,
     "coalesce_merge": q_coalesce_merge,
     "percentile_stats": q_percentile_stats,
+    "url_canonicalize": q_url_canonicalize,
+    "text_len_histogram": q_text_len_histogram,
+    "cell_rollup": q_cell_rollup,
     "tile_assign_polar": q_tile_assign_polar,
     "temporal_max_mosaic": q_temporal_max_mosaic,
     "image_decode": q_image_decode,
@@ -1275,6 +1352,9 @@ ORACLES: dict[str, str] = {
     "salted_agg": SQL_SALTED_AGG,
     "coalesce_merge": SQL_COALESCE_MERGE,
     "percentile_stats": SQL_PERCENTILE_STATS,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "text_len_histogram": SQL_TEXT_LEN_HISTOGRAM,
+    "cell_rollup": SQL_CELL_ROLLUP,
     # tile_assign_polar: trig projection, rows-only (pinned in pytest)
     "temporal_max_mosaic": SQL_TEMPORAL_MAX_MOSAIC,
     "image_decode": SQL_IMAGE_DECODE,
