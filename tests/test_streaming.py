@@ -67,3 +67,26 @@ def test_windowed_event_counts(spark, tmp_path):
     g = {(r.w_start, r.event_type): r.n for r in got.collect()}
     ww = {(r.w_start, r.event_type): r.n for r in want.collect()}
     assert g == ww
+
+
+def test_stateful_host_ledger(spark, tmp_path):
+    """applyInPandasWithState ledger across micro-batches == batch agg."""
+    from smart_geocubes_spark.streaming.stateful import stream_host_ledger
+
+    pages_dir = str(tmp_path / "pages_s")
+    pages_df(spark, SF).select("page_id", "host_id", "text").repartition(4).write.parquet(
+        pages_dir
+    )
+    got = stream_host_ledger(spark, pages_dir, str(tmp_path / "ckpt_s"))
+    want = (
+        spark.read.parquet(pages_dir)
+        .groupBy("host_id")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.max("page_id").alias("max_page_id"),
+        )
+    )
+    g = {r.host_id: (r.n_pages, r.n_chars, r.max_page_id) for r in got.collect()}
+    w = {r.host_id: (r.n_pages, r.n_chars, r.max_page_id) for r in want.collect()}
+    assert g == w
