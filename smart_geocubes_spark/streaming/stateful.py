@@ -31,6 +31,8 @@ def _update_host_ledger(
     else:
         n_pages, n_chars, max_pid = 0, 0, -1
     for pdf in pdfs:
+        if len(pdf) == 0:  # state-store invocations can deliver empty batches
+            continue
         n_pages += len(pdf)
         n_chars += int(pdf["n_chars"].sum())
         max_pid = max(max_pid, int(pdf["page_id"].max()))
