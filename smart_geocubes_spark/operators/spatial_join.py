@@ -84,8 +84,9 @@ def diamond_pip_udf():
             rx_v = rx.to_numpy(dtype=np.float64)
             ry_v = ry.to_numpy(dtype=np.float64)
             out = np.zeros(len(lon_v), dtype=bool)
-            # group candidate rows by patch (cx, cy identifies it)
-            key = np.stack([cx_v, cy_v], axis=1)
+            # group candidate rows by full diamond geometry — co-centered
+            # patches with different radii must not share a group
+            key = np.stack([cx_v, cy_v, rx_v, ry_v], axis=1)
             _, inverse = np.unique(key, axis=0, return_inverse=True)
             for g in np.unique(inverse):
                 sel = inverse == g

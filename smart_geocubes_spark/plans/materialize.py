@@ -227,45 +227,55 @@ def materialize(
     missing = missing.withColumn("pt", (F.col("tile_id") % N_PARTS).cast("int")).withColumn(
         "batch_id", F.lit(batch_id)
     )
-    n_missing = missing.count()
-    if n_missing == 0:
-        return {"batch_id": batch_id, "written": 0, "skipped": "all cached", "sec": time.time() - t0}
+    # the anti-join plan feeds three actions (count, block write,
+    # lineage write): bucket once and persist
+    missing = missing.repartition(F.col("pt")).persist()
+    try:
+        n_missing = missing.count()
+        if n_missing == 0:
+            return {
+                "batch_id": batch_id, "written": 0, "skipped": "all cached",
+                "sec": time.time() - t0,
+            }
 
-    blocks = missing.repartition(F.col("pt")).mapInPandas(
-        _gen_blocks_factory(spec.grid.chunk_px), schema=BLOCK_SCHEMA
-    )
-    block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
-    blocks.write.mode("overwrite").parquet(block_dir)
-
-    if fail_after_blocks:
-        raise RuntimeError("simulated crash before lineage commit")
-
-    # lineage rows: re-derive deterministically from the plan (cheap;
-    # no payload) with per-partition ids — the COMMIT.
-    n_px = spec.grid.chunk_px * spec.grid.chunk_px
-    lin = (
-        missing.withColumn("partition_id", F.spark_partition_id())
-        .withColumn("n_rows", F.lit(1).cast("long"))
-        .withColumn("n_bytes", F.lit(8 * n_px).cast("long"))
-        .select(
-            "chunk_key", "tile_id", "time_idx", "channel",
-            "batch_id", "partition_id", "n_rows", "n_bytes",
+        blocks = missing.mapInPandas(
+            _gen_blocks_factory(spec.grid.chunk_px), schema=BLOCK_SCHEMA
         )
-    )
-    lin_dir = os.path.join(path, "lineage", f"batch={batch_id}")
-    lin.write.mode("overwrite").parquet(lin_dir)
+        block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
+        blocks.write.mode("overwrite").parquet(block_dir)
 
-    # per-run metrics (event-log analog, core/backend.py:23-28)
-    metrics = {
-        "batch_id": batch_id,
-        "written": int(n_missing),
-        "sec": time.time() - t0,
-    }
-    mdir = os.path.join(path, "metrics")
-    os.makedirs(mdir, exist_ok=True)
-    with open(os.path.join(mdir, f"{batch_id}.json"), "w") as f:
-        json.dump(metrics, f)
-    return metrics
+        if fail_after_blocks:
+            raise RuntimeError("simulated crash before lineage commit")
+
+        # lineage rows from the SAME pt-bucketed partitions the blocks
+        # were written from, so partition_id names the block write
+        # partition (per-partition lineage contract) — the COMMIT.
+        n_px = spec.grid.chunk_px * spec.grid.chunk_px
+        lin = (
+            missing.withColumn("partition_id", F.spark_partition_id())
+            .withColumn("n_rows", F.lit(1).cast("long"))
+            .withColumn("n_bytes", F.lit(8 * n_px).cast("long"))
+            .select(
+                "chunk_key", "tile_id", "time_idx", "channel",
+                "batch_id", "partition_id", "n_rows", "n_bytes",
+            )
+        )
+        lin_dir = os.path.join(path, "lineage", f"batch={batch_id}")
+        lin.write.mode("overwrite").parquet(lin_dir)
+
+        # per-run metrics (event-log analog, core/backend.py:23-28)
+        metrics = {
+            "batch_id": batch_id,
+            "written": int(n_missing),
+            "sec": time.time() - t0,
+        }
+        mdir = os.path.join(path, "metrics")
+        os.makedirs(mdir, exist_ok=True)
+        with open(os.path.join(mdir, f"{batch_id}.json"), "w") as f:
+            json.dump(metrics, f)
+        return metrics
+    finally:
+        missing.unpersist()
 
 
 def load(
@@ -289,7 +299,12 @@ def load(
         if os.path.exists(os.path.join(bdir, b, "_SUCCESS"))
     ]
     if not batches:
-        return spark.createDataFrame([], BLOCK_SCHEMA)
+        # match the populated path's exact schema/order (semi-join keys
+        # hoisted first: chunk_key, batch_id, then block columns)
+        cols = ["chunk_key", "batch_id"] + [
+            f.split()[0] for f in BLOCK_SCHEMA.split(", ") if f.split()[0] != "batch_id"
+        ]
+        return spark.createDataFrame([], BLOCK_SCHEMA + ", chunk_key string").select(*cols)
     df = spark.read.schema(BLOCK_SCHEMA).parquet(*batches).filter(
         F.col("tile_id").isin(tile_ids)
     )
