@@ -84,3 +84,36 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         f" i -> md5(substring(text, i, {FP_GRAM})))"
     )
     return docs.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+# Rabin-Karp-style polynomial rolling hash (true "rolling hash"
+# fingerprint): h(i) = sum_j byte(text[i+j]) * B^j mod P over 8-grams.
+RH_B = 131
+RH_P = 2147483647
+RH_W = 8
+
+
+def rolling_hash_fingerprint(docs: DataFrame) -> DataFrame:
+    """Min rolling hash over all 8-gram windows per document — numpy
+    sliding-window vectorized inside an Arrow kernel (the engine's
+    rolling-hash path; md5 variant in doc_fingerprint is the
+    cryptographic one)."""
+    import numpy as np
+    import pandas as pd
+
+    powers = np.array([RH_B**j for j in range(RH_W)], dtype=np.int64)
+
+    def gen(batches):
+        for b in batches:
+            out_ids, out_h = [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                by = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+                if len(by) < RH_W:
+                    by = np.pad(by, (0, RH_W - len(by)))
+                win = np.lib.stride_tricks.sliding_window_view(by, RH_W)
+                h = (win * powers[None, :]).sum(axis=1) % RH_P
+                out_ids.append(doc_id)
+                out_h.append(int(h.min()))
+            yield pd.DataFrame({"doc_id": out_ids, "min_rh": out_h})
+
+    return docs.select("doc_id", "text").mapInPandas(gen, "doc_id long, min_rh long")

@@ -1267,6 +1267,33 @@ FROM pts GROUP BY 1
 """
 
 
+def q_rolling_hash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Rabin-Karp rolling-hash fingerprint (numpy sliding window);
+    oracle recomputes the polynomial with ascii()+integer arithmetic.
+    NOTE: documents text is ASCII (byte == codepoint), asserted by the
+    parity itself."""
+    from smart_geocubes_spark.operators.textstats import rolling_hash_fingerprint
+
+    ensure_base_views(spark, sf_dir)
+    return rolling_hash_fingerprint(spark.table("documents"))
+
+
+_RH_TERMS = " + ".join(
+    f"CAST(ascii(substr(g, {j + 1}, 1)) AS BIGINT) * {131**j}" for j in range(8)
+)
+
+SQL_ROLLING_HASH_FP = f"""WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 8 THEN substr(text, CAST(i AS INT), 8)
+              ELSE rpad(text, 8, chr(0)) END AS g
+  FROM documents, generate_series(1, 600) t(i)
+  WHERE i <= greatest(length(text) - 7, 1)
+)
+SELECT doc_id, CAST(min(({_RH_TERMS}) % 2147483647) AS BIGINT) AS min_rh
+FROM w GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1309,6 +1336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "text_len_histogram": q_text_len_histogram,
     "cell_rollup": q_cell_rollup,
+    "rolling_hash_fp": q_rolling_hash_fp,
     "tile_assign_polar": q_tile_assign_polar,
     "temporal_max_mosaic": q_temporal_max_mosaic,
     "image_decode": q_image_decode,
@@ -1355,6 +1383,7 @@ ORACLES: dict[str, str] = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "text_len_histogram": SQL_TEXT_LEN_HISTOGRAM,
     "cell_rollup": SQL_CELL_ROLLUP,
+    "rolling_hash_fp": SQL_ROLLING_HASH_FP,
     # tile_assign_polar: trig projection, rows-only (pinned in pytest)
     "temporal_max_mosaic": SQL_TEMPORAL_MAX_MOSAIC,
     "image_decode": SQL_IMAGE_DECODE,
