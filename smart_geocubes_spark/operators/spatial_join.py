@@ -100,6 +100,83 @@ def diamond_pip_udf():
     return _UDF_CACHE["pip"]
 
 
+def polygon_pip_udf():
+    """Generic-polygon exact refine: candidate rows carry the patch's
+    vertex arrays; rows are grouped per patch inside the batch and
+    ray-cast with geo/pip.py (handles concave polygons)."""
+    if "poly_pip" not in _UDF_CACHE:
+
+        @F.pandas_udf("boolean")
+        def _udf(
+            lon: pd.Series,
+            lat: pd.Series,
+            patch_idx: pd.Series,
+            poly_x: pd.Series,
+            poly_y: pd.Series,
+        ) -> pd.Series:
+            lon_v = lon.to_numpy(dtype=np.float64)
+            lat_v = lat.to_numpy(dtype=np.float64)
+            pid = patch_idx.to_numpy()
+            out = np.zeros(len(lon_v), dtype=bool)
+            for g in np.unique(pid):
+                sel = pid == g
+                i = int(np.flatnonzero(sel)[0])
+                vx = np.asarray(poly_x.iloc[i], dtype=np.float64)
+                vy = np.asarray(poly_y.iloc[i], dtype=np.float64)
+                out[sel] = points_in_polygon(lon_v[sel], lat_v[sel], vx, vy)
+            return pd.Series(out)
+
+        _UDF_CACHE["poly_pip"] = _udf
+    return _UDF_CACHE["poly_pip"]
+
+
+def polygon_catalog_cells(spark: SparkSession, catalog: DataFrame) -> DataFrame:
+    """Catalog with CONCAVE L-shaped footprints (non-rectangular
+    geometries per FIXTURES.md): vertices derived from each patch's
+    cell bounds, exploded to coarse cells like explode_catalog_to_cells."""
+    pdf = catalog.select("patch_idx", "patch_id", "cminx", "cminy").toPandas()
+    rows = []
+    for r in pdf.itertuples(index=False):
+        x0, y0 = float(r.cminx), float(r.cminy)
+        # L-shape: [x0,x0+2)x[y0,y0+1.5) U [x0,x0+1)x[y0+1.5,y0+3)
+        vx = [x0, x0 + 2.0, x0 + 2.0, x0 + 1.0, x0 + 1.0, x0]
+        vy = [y0, y0, y0 + 1.5, y0 + 1.5, y0 + 3.0, y0 + 3.0]
+        minx, miny, maxx, maxy = x0, y0, x0 + 2.0, y0 + 3.0
+        x_lo = int(np.floor((minx + 180.0) / CELL_DEG))
+        x_hi = int(np.floor((maxx + 180.0) / CELL_DEG))
+        y_lo = int(np.floor((90.0 - maxy) / CELL_DEG))
+        y_hi = int(np.floor((90.0 - miny) / CELL_DEG))
+        for gx in range(x_lo, x_hi + 1):
+            for gy in range(y_lo, y_hi + 1):
+                rows.append(
+                    (gx * 100000 + gy, r.patch_idx, r.patch_id, minx, miny, maxx, maxy, vx, vy)
+                )
+    out = pd.DataFrame(
+        rows,
+        columns=["join_cell", "patch_idx", "patch_id", "minx", "miny", "maxx", "maxy", "poly_x", "poly_y"],
+    )
+    return spark.createDataFrame(out)
+
+
+def polygon_pip_join(points: DataFrame, poly_cells: DataFrame) -> DataFrame:
+    """Generic-polygon spatial join: cell prejoin + bbox + concave
+    ray-cast refine."""
+    pts = points.withColumn("join_cell", _cell_of(F.col("lon"), F.col("lat")))
+    cond = (
+        (pts["join_cell"] == poly_cells["join_cell"])
+        & (pts["lon"] >= poly_cells["minx"])
+        & (pts["lon"] < poly_cells["maxx"])
+        & (pts["lat"] >= poly_cells["miny"])
+        & (pts["lat"] < poly_cells["maxy"])
+    )
+    cand = pts.join(F.broadcast(poly_cells), cond, "inner").drop(poly_cells["join_cell"])
+    return cand.filter(
+        polygon_pip_udf()(
+            F.col("lon"), F.col("lat"), F.col("patch_idx"), F.col("poly_x"), F.col("poly_y")
+        )
+    )
+
+
 def bbox_join(points: DataFrame, catalog_cells: DataFrame) -> DataFrame:
     """Stage 1+2: broadcast hash equi-join on coarse cell, then exact
     envelope predicate. Output: one row per (point, candidate patch)."""

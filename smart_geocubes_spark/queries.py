@@ -1294,6 +1294,38 @@ FROM w GROUP BY doc_id
 """
 
 
+def q_spatial_join_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCAVE polygon spatial join: L-shaped patch footprints refined
+    by the generic ray caster. Oracle: the L as a union of half-open
+    rectangles — exactly the even-odd ray-cast boundary convention, so
+    this cross-checks concave + boundary semantics end to end."""
+    from smart_geocubes_spark.operators.spatial_join import (
+        polygon_catalog_cells,
+        polygon_pip_join,
+    )
+
+    pts = _points(spark, sf_dir)
+    cells = polygon_catalog_cells(spark, catalog_df(spark))
+    joined = polygon_pip_join(pts, cells)
+    return joined.groupBy("patch_id").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("page_id").cast("long").alias("sum_page_id"),
+    )
+
+
+SQL_SPATIAL_JOIN_POLYGON = f"""{ORACLE_PREFIX}
+SELECT p.patch_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(t.page_id) AS BIGINT) AS sum_page_id
+FROM pts t JOIN patches p
+  ON (   (t.lon >= p.cminx AND t.lon < p.cminx + 2.0
+          AND t.lat >= p.cminy AND t.lat < p.cminy + 1.5)
+      OR (t.lon >= p.cminx AND t.lon < p.cminx + 1.0
+          AND t.lat >= p.cminy + 1.5 AND t.lat < p.cminy + 3.0))
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1305,6 +1337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_encode": q_cell_encode,
     "spatial_join_bbox": q_spatial_join_bbox,
     "spatial_join_pip": q_spatial_join_pip,
+    "spatial_join_polygon": q_spatial_join_polygon,
     "knn_ring": q_knn,
     "asof_time_nearest": q_asof_time,
     "range_join_time": q_range_join_time,
@@ -1352,6 +1385,7 @@ ORACLES: dict[str, str] = {
     "cell_encode": SQL_CELL_ENCODE,
     "spatial_join_bbox": SQL_SPATIAL_JOIN_BBOX,
     "spatial_join_pip": SQL_SPATIAL_JOIN_PIP,
+    "spatial_join_polygon": SQL_SPATIAL_JOIN_POLYGON,
     "knn_ring": SQL_KNN,
     "asof_time_nearest": SQL_ASOF_TIME,
     "range_join_time": SQL_RANGE_JOIN_TIME,
