@@ -40,6 +40,34 @@ def _require_real_decoder(fmt: str):
     return _REAL_DECODERS[fmt]
 
 
+def _parse_image(fmt: str, payload: bytes):
+    """(width, height, uint8 pixel array). Real formats go through the
+    registered decoder; RAW parses the header."""
+    if fmt != "raw":
+        return _require_real_decoder(fmt)(payload)
+    assert payload[:4] == b"RIMG", "not a RAW image payload"
+    w, h = struct.unpack(">HH", payload[4:8])
+    return w, h, np.frombuffer(payload, dtype=np.uint8, offset=8)
+
+
+def _parse_audio(fmt: str, payload: bytes):
+    """(n_samples, int64 sample array)."""
+    if fmt != "raw":
+        return _require_real_decoder(fmt)(payload)
+    assert payload[:4] == b"RAUD", "not a RAW audio payload"
+    (n,) = struct.unpack(">I", payload[4:8])
+    return n, np.frombuffer(payload, dtype="<i2", offset=8).astype(np.int64)
+
+
+def _parse_video(fmt: str, payload: bytes):
+    """(n_frames, width, height, uint8 (frames, w*h) array)."""
+    if fmt != "raw":
+        return _require_real_decoder(fmt)(payload)
+    assert payload[:4] == b"RVID", "not a RAW video payload"
+    f, w, h = struct.unpack(">HHH", payload[4:10])
+    return f, w, h, np.frombuffer(payload, dtype=np.uint8, offset=10).reshape(f, w * h)
+
+
 # ---------------------------------------------------------------------------
 # payload generation (deterministic, closed-form)
 # ---------------------------------------------------------------------------
@@ -111,11 +139,7 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
         for b in batches:
             rows = []
             for mid, fmt, payload in zip(b["media_id"], b["fmt"], b["payload"]):
-                if fmt != "raw":
-                    _require_real_decoder(str(fmt))
-                assert payload[:4] == b"RIMG"
-                w, h = struct.unpack(">HH", payload[4:8])
-                px = np.frombuffer(payload, dtype=np.uint8, offset=8)
+                w, h, px = _parse_image(str(fmt), payload)
                 rows.append((mid, w, h, w * h, int(px.astype(np.int64).sum())))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "n_pixels", "sum_pixels"]
@@ -135,10 +159,8 @@ def resize_image_halve(media: DataFrame) -> DataFrame:
         for b in batches:
             rows = []
             for mid, fmt, payload in zip(b["media_id"], b["fmt"], b["payload"]):
-                if fmt != "raw":
-                    _require_real_decoder(str(fmt))
-                w, h = struct.unpack(">HH", payload[4:8])
-                px = np.frombuffer(payload, dtype=np.uint8, offset=8).reshape(h, w)
+                w, h, flat = _parse_image(str(fmt), payload)
+                px = flat.reshape(h, w)
                 h2, w2 = h // 2 * 2, w // 2 * 2
                 pooled = (
                     px[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).astype(np.int64).sum(axis=(1, 3))
@@ -163,13 +185,9 @@ def audio_features(media: DataFrame) -> DataFrame:
         for b in batches:
             rows = []
             for mid, fmt, payload in zip(b["media_id"], b["fmt"], b["payload"]):
-                if fmt != "raw":
-                    _require_real_decoder(str(fmt))
-                assert payload[:4] == b"RAUD"
-                (n,) = struct.unpack(">I", payload[4:8])
-                s = np.frombuffer(payload, dtype="<i2", offset=8).astype(np.int64)
-                zc = int(((s[:-1] < 0) != (s[1:] < 0)).sum())
-                rows.append((mid, n, int(np.abs(s).sum()), zc))
+                n, samples = _parse_audio(str(fmt), payload)
+                zc = int(((samples[:-1] < 0) != (samples[1:] < 0)).sum())
+                rows.append((mid, n, int(np.abs(samples).sum()), zc))
             yield pd.DataFrame(rows, columns=["media_id", "n_samples", "sum_abs", "n_zero_cross"])
 
     return media.mapInPandas(
@@ -185,11 +203,7 @@ def sample_video_frames(media: DataFrame, every: int = 3) -> DataFrame:
         for b in batches:
             rows = []
             for mid, fmt, payload in zip(b["media_id"], b["fmt"], b["payload"]):
-                if fmt != "raw":
-                    _require_real_decoder(str(fmt))
-                assert payload[:4] == b"RVID"
-                f, w, h = struct.unpack(">HHH", payload[4:10])
-                px = np.frombuffer(payload, dtype=np.uint8, offset=10).reshape(f, w * h)
+                f, w, h, px = _parse_video(str(fmt), payload)
                 for fi in range(0, f, every):
                     rows.append((mid, fi, int(px[fi].astype(np.int64).sum())))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sum"])

@@ -19,15 +19,20 @@ BUCKET_SEC = 2592000
 def asof_nearest(events: DataFrame, axis: DataFrame, ts_col: str = "warc_epoch") -> DataFrame:
     """Map each event timestamp onto the nearest axis step (ties ->
     smaller time_idx). ``axis``: (time_idx int, epoch long), tiny ->
-    broadcast cross join + one window. Adds ``time_idx``."""
-    j = events.crossJoin(F.broadcast(axis))
-    w = Window.partitionBy(*events.columns).orderBy(
+    broadcast cross join + one window. Adds ``time_idx``.
+
+    Each input ROW is matched independently: a per-row id keys the
+    window so fully-duplicate event rows are preserved (partitioning by
+    the event columns would silently collapse them)."""
+    ev = events.withColumn("_rid", F.monotonically_increasing_id())
+    j = ev.crossJoin(F.broadcast(axis))
+    w = Window.partitionBy("_rid").orderBy(
         F.abs(F.col(ts_col) - F.col("epoch")).asc(), F.col("time_idx").asc()
     )
     return (
         j.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn", "epoch")
+        .drop("rn", "epoch", "_rid")
     )
 
 

@@ -32,13 +32,16 @@ def lang_id(docs: DataFrame) -> DataFrame:
         for lang, rx in LANG_MARKERS.items()
     ]
     d = docs.select("doc_id", *cols)
-    pred = (
-        F.when(
-            (F.col("n_en") >= F.col("n_de")) & (F.col("n_en") >= F.col("n_fr")), F.lit("en")
-        )
-        .when(F.col("n_de") >= F.col("n_fr"), F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
+    # argmax derived from LANG_MARKERS (insertion order breaks ties), so
+    # adding a language keeps counts and prediction in sync
+    langs = list(LANG_MARKERS)
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [F.col(f"n_{lang}") >= F.col(f"n_{o}") for o in langs[langs.index(lang) + 1 :]]
+        cond = later[0]
+        for c in later[1:]:
+            cond = cond & c
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return d.withColumn("pred_lang", pred)
 
 

@@ -50,7 +50,11 @@ def stream_tile_counts(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         counts = batch_df.groupBy("tile_id").agg(F.count("*").alias("n_pages"))
-        counts.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+        # overwrite the per-batch dir: a replayed micro-batch (driver
+        # died between sink write and checkpoint commit) lands on the
+        # same batch_id and replaces rather than duplicates — the
+        # standard foreachBatch idempotency pattern.
+        counts.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
         )
 
@@ -66,9 +70,13 @@ def stream_tile_counts(
 def stream_windowed_event_counts(
     spark: SparkSession, events_parquet_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation over event time (late
-    rows beyond the watermark are dropped); availableNow drain into a
-    memory sink, returns the result table."""
+    """Tumbling-window aggregation over event time, availableNow drain
+    into a memory sink. NOTE on semantics: complete output mode retains
+    all window state, so the watermark here bounds state only for the
+    update/append variants — in complete mode every row (late or not)
+    is folded in, which is exactly what the batch-parity test asserts.
+    For drop-late semantics switch outputMode to 'append' (windows then
+    emit only once finalized past the watermark)."""
     schema = spark.read.parquet(events_parquet_dir).schema
     src = spark.readStream.schema(schema).parquet(events_parquet_dir)
     agg = (
