@@ -85,26 +85,24 @@ def knn_join(
         F.col("lat") - F.col("qy")
     ) * (F.col("lat") - F.col("qy"))
     cand = pts.join(disk_df, ["cx", "cy"], "inner").withColumn("d2", d2)
-    prov = _topk(cand, k).cache()
-    try:
-        # 4. exactness bound: kth distance must beat the unexplored region
-        bound = (radius_cells * cell_deg) ** 2
-        stats = (
-            prov.groupBy("qid")
-            .agg(F.max("d2").alias("dk"), F.count("*").alias("n"))
-            .collect()
-        )
-        ok = {r_.qid for r_ in stats if r_.n >= k and r_.dk < bound}
-        failed = [q for q in queries_pdf["qid"] if q not in ok]
+    prov = _topk(cand, k)
+    # 4. exactness bound: kth distance must beat the unexplored region.
+    # Only the per-qid STATS (|Q| rows) come to the driver — the top-k
+    # rows themselves stay distributed (a toPandas/createDataFrame
+    # round-trip here would make the exact path driver-memory-bound in
+    # |Q|*k); the ok-set is a tiny literal list pushed into the filter.
+    bound = (radius_cells * cell_deg) ** 2
+    stats = (
+        prov.groupBy("qid")
+        .agg(F.max("d2").alias("dk"), F.count("*").alias("n"))
+        .collect()
+    )
+    ok = {r_.qid for r_ in stats if r_.n >= k and r_.dk < bound}
+    failed = [q for q in queries_pdf["qid"] if q not in ok]
 
-        exact_pdf = (
-            prov.filter(F.col("qid").isin(list(ok)))
-            .select("qid", "neighbor_id", "rank")
-            .toPandas()
-        )
-    finally:
-        prov.unpersist()
-    exact = spark.createDataFrame(exact_pdf, "qid long, neighbor_id long, rank long")
+    exact = prov.filter(F.col("qid").isin([int(q) for q in ok])).select(
+        "qid", "neighbor_id", "rank"
+    )
     if not failed:
         return exact
 

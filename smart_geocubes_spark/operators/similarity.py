@@ -50,10 +50,76 @@ def ann_cosine_topk(spark: SparkSession, emb: DataFrame, k: int = 5) -> DataFram
     )
 
 
-def embedding_neardup_pairs(spark: SparkSession, emb: DataFrame, tau: float = 0.9) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= tau).
-    Fixture-scale is a self cross join; at scale the LSH bucketing below
-    bounds candidates."""
+def embedding_neardup_pairs(
+    spark: SparkSession, emb: DataFrame, tau: float = 0.9, n_blocks: int | None = None
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (id_a < id_b,
+    cos >= tau) as a distributed block-grid self-join.
+
+    An exact threshold join at low tau is inherently Omega(n^2)
+    compares (no bucketing scheme has guaranteed recall for cosine
+    thresholds this weak), so the scalable shape is to do those
+    compares as BLAS: vectors are hashed into B blocks, the B*(B+1)/2
+    block PAIRS form the task grid (tiny broadcast), and each task
+    computes one (n/B x n/B) normalized matmul in a single Arrow
+    kernel, emitting only the pairs over tau. No cross join, no
+    nested-loop join, no per-pair JVM expression: shuffle volume is
+    n*B rows (each vector visits its block row+column of the grid) and
+    the O(n^2 d) flops run at GEMM throughput across all executors.
+    For corpora where even that is too much work, the approximate path
+    is :func:`ann_lsh_topk`; this operator is the exact/verify path
+    (same role as MinHash-LSH's exact-verify stage).
+
+    The previous all-pairs broadcast theta-join survives only as the
+    test oracle (:func:`embedding_neardup_pairs_allpairs`)."""
+    B = int(n_blocks or max(8, spark.sparkContext.defaultParallelism))
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double("embedding").alias("v"),
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk"),
+    )
+    grid = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, j) for i in range(B) for j in range(i, B)], columns=["bi", "bj"]
+        ).astype("int32")
+    )
+    left = base.join(F.broadcast(grid), base["blk"] == grid["bi"]).select(
+        "bi", "bj", "vec_id", "v", F.lit(0).alias("side")
+    )
+    right = base.join(
+        F.broadcast(grid), (base["blk"] == grid["bj"]) & (grid["bi"] != grid["bj"])
+    ).select("bi", "bj", "vec_id", "v", F.lit(1).alias("side"))
+    tagged = left.unionByName(right)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == 0].sort_values("vec_id")
+        if a.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        A = np.stack(a["v"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        ida = a["vec_id"].to_numpy()
+        b = pdf[pdf["side"] == 1]
+        if b.empty:  # diagonal block: upper triangle of one matrix
+            c = A @ A.T
+            ii, jj = np.nonzero(np.triu(c >= tau, k=1))
+            return pd.DataFrame({"id_a": ida[ii], "id_b": ida[jj]})
+        Bm = np.stack(b["v"].to_numpy()).astype(np.float64)
+        Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
+        idb = b["vec_id"].to_numpy()
+        c = A @ Bm.T
+        ii, jj = np.nonzero(c >= tau)
+        x, y = ida[ii], idb[jj]
+        return pd.DataFrame({"id_a": np.minimum(x, y), "id_b": np.maximum(x, y)})
+
+    return tagged.groupBy("bi", "bj").applyInPandas(kernel, "id_a long, id_b long")
+
+
+def embedding_neardup_pairs_allpairs(
+    spark: SparkSession, emb: DataFrame, tau: float = 0.9
+) -> DataFrame:
+    """All-pairs broadcast theta-join reference implementation — O(n^2)
+    rows through a BroadcastNestedLoopJoin, fixture-scale ONLY. Kept as
+    the pytest oracle for :func:`embedding_neardup_pairs`."""
     base = emb.select("vec_id", _as_double("embedding").alias("v"))
     a = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
@@ -68,16 +134,39 @@ def _planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
 
 
 def make_bucket_udf(dim: int):
+    """Hyperplane sign-bucket UDF. The projection is accumulated
+    LEFT-ASSOCIATIVELY over dimensions (``((v1*p1 + v2*p2) + v3*p3)...``)
+    rather than via BLAS matmul, so the DuckDB oracle can recompute the
+    identical IEEE doubles with a plain ``a + b + c`` SQL expression
+    (CLAUDE.md float-discipline rule: floats only where both engines
+    provably compute the same value in the same order). Cost is
+    unchanged — still d vectorized fused ops per batch."""
     planes = _planes(dim)
 
     @F.pandas_udf("int")
     def bucket_udf(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy())  # (n, dim) float32
-        proj = m.astype(np.float64) @ planes.T  # (n, P)
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        proj = m[:, 0][:, None] * planes[:, 0][None, :]  # (n, P)
+        for i in range(1, planes.shape[1]):
+            proj = proj + m[:, i][:, None] * planes[:, i][None, :]
         bits = (proj > 0).astype(np.int64)
         return pd.Series((bits << np.arange(N_PLANES)).sum(axis=1).astype(np.int32))
 
     return bucket_udf
+
+
+def lsh_bucket_sql(vcol: str, dim: int) -> str:
+    """The bucket computation as a shared-dialect SQL expression with
+    the seeded plane constants inlined (same role as
+    functions.sqlgen.morton_cell_sql: the oracle recomputes the engine's
+    encoding bit-for-bit). ``repr(float)`` round-trips exactly, and the
+    left-assoc ``+`` chain matches the UDF's accumulation order."""
+    planes = _planes(dim)
+    terms = []
+    for j in range(N_PLANES):
+        dot = " + ".join(f"{vcol}[{i + 1}] * {float(planes[j, i])!r}" for i in range(dim))
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def ann_lsh_topk(spark: SparkSession, emb: DataFrame, k: int = 5) -> DataFrame:
@@ -106,5 +195,5 @@ def ann_lsh_topk(spark: SparkSession, emb: DataFrame, k: int = 5) -> DataFrame:
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 6).alias("cos6"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank")
     )

@@ -9,7 +9,7 @@ and the patch validity windows of STAC search
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: 30-day bucket length used by the interval join.
@@ -18,22 +18,48 @@ BUCKET_SEC = 2592000
 
 def asof_nearest(events: DataFrame, axis: DataFrame, ts_col: str = "warc_epoch") -> DataFrame:
     """Map each event timestamp onto the nearest axis step (ties ->
-    smaller time_idx). ``axis``: (time_idx int, epoch long), tiny ->
-    broadcast cross join + one window. Adds ``time_idx``.
+    smaller time_idx). ``axis``: (time_idx int, epoch long), tiny by
+    contract (a cube time axis, reference ``core/toi.py:33-37``).
 
-    Each input ROW is matched independently: a per-row id keys the
-    window so fully-duplicate event rows are preserved (partitioning by
-    the event columns would silently collapse them)."""
-    ev = events.withColumn("_rid", F.monotonically_increasing_id())
-    j = ev.crossJoin(F.broadcast(axis))
-    w = Window.partitionBy("_rid").orderBy(
-        F.abs(F.col(ts_col) - F.col("epoch")).asc(), F.col("time_idx").asc()
-    )
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "epoch", "_rid")
-    )
+    Plan: the axis is collected (it is metadata-sized) and baked into
+    the projection as literal arrays; the nearest step index is the
+    COUNT of inter-step midpoints strictly below the event timestamp
+    (``2*ts > e_i + e_{i+1}`` — integer math, no float midpoints), a
+    single ``aggregate`` over a literal array. Zero joins, zero
+    shuffles, zero row fan-out: the event side stays a one-pass
+    projection inside whole-stage codegen, which is the only plan that
+    survives 10^12 events (the previous crossJoin x |axis| + per-row
+    window shuffled N*|axis| rows on a unique key).
+
+    Tie semantics match the reference's ``get_indexer(method="nearest")``
+    + (abs diff, time_idx) ordering: an exact midpoint snaps to the
+    EARLIER step. Axis contract: time_idx is monotone in epoch
+    (duplicate epochs collapse to the smallest time_idx, which is what
+    the window formulation picked too). Adds ``time_idx``."""
+    rows = axis.select("time_idx", "epoch").collect()
+    if not rows:
+        raise ValueError("empty time axis")
+    by_epoch: dict[int, int] = {}
+    for r in rows:
+        e, i = int(r["epoch"]), int(r["time_idx"])
+        if e not in by_epoch or i < by_epoch[e]:
+            by_epoch[e] = i
+    pairs = sorted(by_epoch.items())
+    epochs = [e for e, _ in pairs]
+    idxs = [i for _, i in pairs]
+
+    ts2 = (F.col(ts_col).cast("long") * F.lit(2)).cast("long")
+    if len(epochs) == 1:
+        pos = F.lit(0)
+    else:
+        sums = [epochs[i] + epochs[i + 1] for i in range(len(epochs) - 1)]
+        pos = F.aggregate(
+            F.array(*[F.lit(s).cast("long") for s in sums]),
+            F.lit(0),
+            lambda acc, s: acc + F.when(ts2 > s, F.lit(1)).otherwise(F.lit(0)),
+        )
+    idx_arr = F.array(*[F.lit(int(i)).cast("int") for i in idxs])
+    return events.withColumn("time_idx", F.element_at(idx_arr, pos + F.lit(1)))
 
 
 def bucketed_range_join(

@@ -73,6 +73,32 @@ def make_cell_udf(res: int):
     return cell_udf
 
 
+_GEO_URL_RE = r"/geo/(-?\d+),(-?\d+)/"
+
+
+def make_geoparse_cell_udf(res: int):
+    """FUSED url -> Morton cell UDF (geoparse + encode in ONE Arrow
+    hop; -1 for urls without coordinates). Same parse and float path as
+    operators.geoparse.geoparsed_points (int micro-degrees / 1e5 as
+    float64 — exact in IEEE), fused per CLAUDE.md rule 4 so queries that
+    only need the cell pay a single ArrowEvalPython node.
+    ``asNondeterministic`` pins one evaluation (see geoparse.py)."""
+    import numpy as np
+
+    from smart_geocubes_spark.geo.cells import cell_encode as _enc
+
+    @F.pandas_udf("long")
+    def _udf(url: pd.Series) -> pd.Series:
+        ext = url.str.extract(_GEO_URL_RE)
+        lat = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64) / 1e5
+        lon = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64) / 1e5
+        has = ~np.isnan(lat) & ~np.isnan(lon)
+        cell = np.where(has, _enc(np.nan_to_num(lon), np.nan_to_num(lat), res), -1)
+        return pd.Series(cell)
+
+    return _udf.asNondeterministic()
+
+
 _UDF_CACHE: dict[str, object] = {}
 
 

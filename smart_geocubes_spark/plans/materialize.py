@@ -323,7 +323,17 @@ def load(
     # correct).
     from pyspark.sql import Window
 
-    lineage = read_lineage(spark, path).select("chunk_key", "batch_id").distinct()
+    # Prune lineage to the ROI's tile set BEFORE winner ranking: the
+    # full winner list is one row per chunk of the whole cube (~10^8-9
+    # chunks at 100 TB) and force-broadcasting that would OOM; the
+    # ROI-pruned set is bounded by the query size, so the broadcast is
+    # safe. The tile_id IN filter is pushed to the lineage parquet scan.
+    lineage = (
+        read_lineage(spark, path)
+        .filter(F.col("tile_id").isin(tile_ids))
+        .select("chunk_key", "batch_id")
+        .distinct()
+    )
     w = Window.partitionBy("chunk_key").orderBy(F.col("batch_id").asc())
     winners = (
         lineage.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

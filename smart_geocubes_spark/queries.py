@@ -604,13 +604,49 @@ WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * q.v[i]))
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (LSH-bucketed, multiprobe) ANN — not SQL-expressible
-    bit-for-bit (numpy hyperplanes), driver records rows-only."""
+    """Approximate (LSH-bucketed, multiprobe) ANN. Fully oracle-checked:
+    the seeded hyperplanes are inlined into the SQL as literal constants
+    and the projection is accumulated in the same left-assoc order in
+    both engines (operators.similarity.lsh_bucket_sql), so bucket ids —
+    and therefore the candidate sets and ranks — agree bit-for-bit."""
     from smart_geocubes_spark.operators.similarity import ann_lsh_topk
 
     ensure_base_views(spark, sf_dir)
     emb = spark.table("embeddings")
     return ann_lsh_topk(spark, emb, k=5)
+
+
+def _ann_lsh_sql() -> str:
+    from smart_geocubes_spark.operators.similarity import lsh_bucket_sql
+
+    cos = (
+        "list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * p.qv[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))"
+        " * sqrt(list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * p.qv[i]))))"
+    )
+    return f"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bb AS (SELECT vec_id, v, {lsh_bucket_sql("v", 64)} AS bucket FROM base),
+q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM bb WHERE vec_id % 25 = 0),
+probes AS (
+  SELECT qid, qv,
+         CASE WHEN i = 0 THEN CAST(qb AS BIGINT)
+              ELSE xor(CAST(qb AS BIGINT), CAST(1 AS BIGINT) << (i - 1)) END AS bucket
+  FROM q, generate_series(0, 8) t(i)
+)
+SELECT qid, neighbor_id, rank FROM (
+  SELECT p.qid, b.vec_id AS neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY p.qid ORDER BY {cos} DESC, b.vec_id ASC
+         ) AS BIGINT) AS rank
+  FROM bb b JOIN probes p ON CAST(b.bucket AS BIGINT) = p.bucket
+  WHERE b.vec_id <> p.qid
+) r WHERE rank <= 5
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_sql()
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,9 +1010,13 @@ FROM ztf
 
 # ---------------------------------------------------------------------------
 # polar-CRS tile assignment (P1 reprojection; reference reprojects every
-# AOI to the cube CRS, core/accessor.py:373). Trig projections differ by
-# ulps across libm implementations, so this is a rows-only check (the
-# projection itself is pinned against closed-form values in pytest).
+# AOI to the cube CRS, core/accessor.py:373). Oracle: the EPSG:3413
+# forward projection (Snyder 21-33..35) ported into DuckDB SQL with the
+# engine's own constants inlined and the SAME expression order. Trig
+# libm ulp differences only matter for a point within ~1e-10 relative of
+# a 320 km tile boundary — the integer outputs (tile_id, count) are
+# robust to that, and the projection itself is additionally pinned
+# against closed-form values in pytest.
 # ---------------------------------------------------------------------------
 
 
@@ -998,6 +1038,46 @@ def q_tile_assign_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("t.tile_id").alias("tile_id"))
         .agg(F.count("*").cast("long").alias("n_pages"))
     )
+
+
+def _tile_assign_polar_sql() -> str:
+    """EPSG:3413 forward projection + grid floor as DuckDB SQL, mirroring
+    geo.projection.project('EPSG:3413') term by term: constants are the
+    engine's own doubles (repr round-trips exactly) and every float op
+    appears in the numpy evaluation order."""
+    import numpy as _np
+
+    from smart_geocubes_spark.geo import projection as _proj
+
+    d2r = float(_np.radians(1.0))  # numpy radians == multiply by pi/180
+    e = float(_proj._E)
+    eh = float(_proj._E / 2.0)
+    pi4 = float(_np.pi / 4.0)
+    t_c = float(_proj._t_param(_np.radians(70.0)))
+    a_mc = float(_proj._A * _proj._m_param(_np.radians(70.0)))  # (_A * m_c)
+
+    t_expr = (
+        f"tan({pi4!r} - (lat * {d2r!r}) / 2.0)"
+        f" / pow((1.0 - {e!r} * sin(lat * {d2r!r})) / (1.0 + {e!r} * sin(lat * {d2r!r})), {eh!r})"
+    )
+    return f"""{ORACLE_PREFIX},
+pp AS (
+  SELECT page_id,
+         (({a_mc!r} * ({t_expr})) / {t_c!r}) AS rho,
+         ((lon - -45.0) * {d2r!r}) AS theta
+  FROM pts
+),
+xy AS (SELECT page_id, rho * sin(theta) AS px, (-(rho)) * cos(theta) AS py FROM pp)
+SELECT CAST(floor((4000000.0 - py) / 320000.0) AS BIGINT) * 25
+       + CAST(floor((px - -4000000.0) / 320000.0) AS BIGINT) AS tile_id,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM xy
+WHERE px >= -4000000.0 AND px < 4000000.0 AND py <= 4000000.0 AND py > -4000000.0
+GROUP BY 1
+"""
+
+
+SQL_TILE_ASSIGN_POLAR = _tile_assign_polar_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1239,23 +1319,26 @@ FROM documents GROUP BY 1
 
 def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical cell rollup: encode at res 12, roll up to res 8 via
-    cell_parent (H3 cell_to_parent role), count per parent. The oracle
-    encodes DIRECTLY at res 8 — cross-checking that parent-of-res-12
-    equals encode-at-res-8 for every point."""
-    import pandas as _pd
+    parent-of-Morton, count per parent. The oracle encodes DIRECTLY at
+    res 8 — cross-checking that parent-of-res-12 equals encode-at-res-8
+    for every point.
 
-    from smart_geocubes_spark.geo.cells import cell_parent
+    The parent step is PURE JVM bit math (same identity as
+    geo.cells.cell_parent, pytest-pinned there): coarsening a Morton
+    code by s resolutions == dropping its low 2*s interleaved bits, so
+    cell8 = (morton12 >> 8) | (8 << 56). ONE ArrowEvalPython total:
+    geoparse + res-12 encode fused into a single hop — chained pandas
+    UDFs measured 6x slower (CLAUDE.md rule 4) — and the rollup stays
+    inside whole-stage codegen."""
+    from smart_geocubes_spark.operators.tiles import make_geoparse_cell_udf
 
-    pts = _points(spark, sf_dir)
-    cell12 = make_cell_udf(12)
-
-    def _parent8(cell):
-        return _pd.Series(cell_parent(cell.to_numpy(), 4))
-
-    parent8 = F.pandas_udf(_parent8, "long")
-
-    enc = pts.select(cell12(F.col("lon"), F.col("lat")).alias("c12"))
-    return enc.select(parent8(F.col("c12")).alias("cell8")).groupBy("cell8").agg(
+    dp = spark.sparkContext.defaultParallelism
+    pages = pages_df(spark, sf_dir, parallelism=dp).select("url")
+    fused = make_geoparse_cell_udf(12)
+    enc = pages.select(fused(F.col("url")).alias("c12")).filter(F.col("c12") >= 0)
+    morton8 = F.shiftright(F.col("c12").bitwiseAND(F.lit((1 << 56) - 1)), 8)
+    cell8 = morton8.bitwiseOR(F.lit(8 << 56))
+    return enc.select(cell8.alias("cell8")).groupBy("cell8").agg(
         F.count("*").cast("long").alias("n_pages")
     )
 
@@ -1398,7 +1481,7 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
-    # ann_lsh_topk: numpy hyperplane buckets, rows-only check (no oracle)
+    "ann_lsh_topk": SQL_ANN_LSH,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
@@ -1418,7 +1501,7 @@ ORACLES: dict[str, str] = {
     "text_len_histogram": SQL_TEXT_LEN_HISTOGRAM,
     "cell_rollup": SQL_CELL_ROLLUP,
     "rolling_hash_fp": SQL_ROLLING_HASH_FP,
-    # tile_assign_polar: trig projection, rows-only (pinned in pytest)
+    "tile_assign_polar": SQL_TILE_ASSIGN_POLAR,
     "temporal_max_mosaic": SQL_TEMPORAL_MAX_MOSAIC,
     "image_decode": SQL_IMAGE_DECODE,
     "image_resize": SQL_IMAGE_RESIZE,

@@ -151,3 +151,43 @@ class TestPagesContract:
             | ((F.col("lat").between(78.0, 78.5)) & (F.col("lon").between(100.0, 100.5)))
         ).count()
         assert 0.25 < in_c / n < 0.35
+
+
+class TestEmbeddingNeardup:
+    def test_blockgrid_equals_allpairs(self, spark):
+        """The distributed block-grid GEMM join must return EXACTLY the
+        all-pairs theta-join's pairs (it is exact by construction — the
+        grid covers every block pair once)."""
+        from smart_geocubes_spark.operators.similarity import (
+            embedding_neardup_pairs,
+            embedding_neardup_pairs_allpairs,
+        )
+        from smart_geocubes_spark.queries import ensure_base_views
+
+        ensure_base_views(spark, "/root/testdata/sf0.01")
+        emb = spark.table("embeddings")
+        got = sorted(
+            map(tuple, embedding_neardup_pairs(spark, emb, tau=0.45).collect())
+        )
+        want = sorted(
+            map(tuple, embedding_neardup_pairs_allpairs(spark, emb, tau=0.45).collect())
+        )
+        assert got == want and len(got) > 0
+
+    def test_blockgrid_odd_block_count(self, spark):
+        """Same equivalence when n_blocks doesn't divide the table."""
+        from smart_geocubes_spark.operators.similarity import (
+            embedding_neardup_pairs,
+            embedding_neardup_pairs_allpairs,
+        )
+        from smart_geocubes_spark.queries import ensure_base_views
+
+        ensure_base_views(spark, "/root/testdata/sf0.01")
+        emb = spark.table("embeddings")
+        got = sorted(
+            map(tuple, embedding_neardup_pairs(spark, emb, tau=0.45, n_blocks=7).collect())
+        )
+        want = sorted(
+            map(tuple, embedding_neardup_pairs_allpairs(spark, emb, tau=0.45).collect())
+        )
+        assert got == want

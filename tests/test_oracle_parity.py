@@ -27,8 +27,27 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0
 
 
+def test_oracle_series_bound_covers_documents():
+    """Several oracle CTEs enumerate shingle/window positions with a
+    fixed generate_series(1, 600): that silently assumes every document
+    is short enough that 600 positions cover it. Pin the assumption —
+    if the documents fixture ever grows past it, fail HERE with a clear
+    message instead of a confusing value-hash mismatch."""
+    import duckdb
+
+    max_len = duckdb.connect().execute(
+        f"SELECT max(length(text)) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    # largest window any oracle slides is 13 chars (shingle k=13)
+    assert max_len + 13 <= 600, (
+        f"documents max text length {max_len} outgrew the oracle "
+        "generate_series(1, 600) bound — raise the bound in queries.py"
+    )
+
+
 def test_every_query_has_oracle_or_is_flagged():
     missing = sorted(set(_QUERIES) - set(_ORACLES))
-    # non-SQL-expressible ops may be omitted, but keep the list explicit
-    allowed_rows_only: set[str] = {"ann_lsh_topk", "tile_assign_polar"}
+    # every query is oracle-checked as of round 2 (ann_lsh_topk and
+    # tile_assign_polar gained shared-constant SQL oracles)
+    allowed_rows_only: set[str] = set()
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"

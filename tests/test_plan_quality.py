@@ -83,3 +83,88 @@ def test_prep_pipeline_single_python_node(spark):
     plan = plan_of(df.groupBy("cell12").count())
     assert plan.count("MapInPandas") == 1
     assert "ArrowEvalPython" not in plan
+
+
+def test_asof_is_pure_projection(spark):
+    """asof_nearest must be a one-pass projection over the event side:
+    no join, no window, no exchange, no row fan-out (the literal-axis
+    lookup replaces the crossJoin x |axis| + per-row-key window)."""
+    from smart_geocubes_spark.queries import q_asof_time
+
+    plan = plan_of(q_asof_time(spark, SF))
+    for bad in ("Join", "CartesianProduct", "Window", "hashpartitioning"):
+        assert bad not in plan, f"{bad} in asof plan"
+    # the only exchange allowed is the documented round-robin spread of
+    # the single-file driver parquet (Iceberg split stand-in) — the
+    # lookup itself must add none
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
+
+
+def test_cell_rollup_single_python_hop(spark):
+    """Parent-of-Morton must be JVM bit math: exactly one ArrowEvalPython
+    (the res-12 encode), never a second chained pandas UDF."""
+    from smart_geocubes_spark.queries import q_cell_rollup
+
+    plan = plan_of(q_cell_rollup(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_embedding_neardup_has_no_nested_loop(spark):
+    """The default near-dup plan is the block-grid GEMM join — broadcast
+    hash joins on block ids + one Arrow kernel; the O(n^2)-row
+    BroadcastNestedLoopJoin survives only in the all-pairs test oracle."""
+    from smart_geocubes_spark.queries import ensure_base_views
+    from smart_geocubes_spark.operators.similarity import embedding_neardup_pairs
+
+    ensure_base_views(spark, SF)
+    df = embedding_neardup_pairs(spark, spark.table("embeddings"), tau=0.45)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+
+
+def test_knn_exact_path_stays_distributed(spark):
+    """No driver round-trip in the kNN operator: the returned plan must
+    not originate from a LocalTableScan/parallelized pandas frame on the
+    exact path (only the tiny query-disk side is driver-built)."""
+    import pandas as pd
+
+    from smart_geocubes_spark.operators.knn import knn_join
+
+    pts = spark.range(2000).selectExpr(
+        "id AS point_id",
+        "CAST(-150 + (id % 100) * 0.01 AS DOUBLE) AS lon",
+        "CAST(62 + (id % 80) * 0.01 AS DOUBLE) AS lat",
+    )
+    q = pd.DataFrame({"qid": [1, 2], "qx": [-149.7, -149.5], "qy": [62.3, 62.5]})
+    df = knn_join(spark, pts, q, k=3)
+    plan = plan_of(df)
+    # the point side must come from the distributed range, not a
+    # collected-and-reparallelized local table
+    assert "Range (0, 2000" in plan
+
+
+def test_load_prunes_lineage_before_broadcast(spark, tmp_path):
+    """load()'s winner resolution must read only the ROI's lineage rows:
+    the tile_id IN filter is pushed to BOTH parquet scans (blocks and
+    lineage), so the broadcast side is bounded by the query, not the
+    cube."""
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        load,
+        materialize,
+    )
+    from tests.test_materialize import ROI_A, SMALL_GRID
+
+    path = str(tmp_path / "cube")
+    create_cube(path, CubeSpec(grid=SMALL_GRID, channels=("dem",), time_epochs=None))
+    materialize(spark, path, ROI_A)
+    plan = plan_of(load(spark, path, ROI_A))
+    pushed = [seg[:300] for seg in plan.split("PushedFilters: ")[1:]]
+    with_tile = [s for s in pushed if "tile_id" in s.split("]", 1)[0]]
+    assert len(with_tile) >= 2, f"expected tile_id pushed to both scans: {pushed}"
