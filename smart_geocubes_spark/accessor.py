@@ -42,11 +42,27 @@ BBox = tuple[float, float, float, float]
 
 @dataclass
 class GeocubeAccessor:
-    """One cube = one accessor instance (reference: one dataset class)."""
+    """One cube = one accessor instance (reference: one dataset class).
+
+    Subclass extension seam: ``post_init`` runs once after construction
+    and ``post_create`` after a successful ``create()`` — the reference's
+    hook pair (``core/accessor.py:125-127`` and ``:298-300``), used by
+    dataset accessors to e.g. warm auxiliary indexes."""
 
     spark: SparkSession
     path: str
     spec: CubeSpec
+
+    def __post_init__(self) -> None:
+        self.post_init()
+
+    def post_init(self) -> None:
+        """Hook: runs after construction. Override in subclasses
+        (reference ``core/accessor.py:125-127``)."""
+
+    def post_create(self) -> None:
+        """Hook: runs after a successful ``create()`` (reference
+        ``core/accessor.py:298-300``)."""
 
     def create(self, overwrite: bool = False) -> None:
         """DDL (reference ``create()``, exists/overwrite semantics of
@@ -54,6 +70,7 @@ class GeocubeAccessor:
         if overwrite and os.path.exists(self.path):
             shutil.rmtree(self.path)
         create_cube(self.path, self.spec)
+        self.post_create()
 
     @property
     def created(self) -> bool:
@@ -92,8 +109,12 @@ class GeocubeAccessor:
         return df.toPandas() if persist else df
 
     def load_like(self, ref: DataFrame, persist: bool = False) -> DataFrame | pd.DataFrame:
-        """Derive ROI (and TOI) from another result frame
-        (reference ``load_like``, core/accessor.py:302-329)."""
+        """Derive ROI AND TOI from another result frame (reference
+        ``load_like``, core/accessor.py:302-329: aoi from ``ref.geobox``,
+        toi from ``ref``'s time coordinate when the cube is temporal).
+        Here the time coordinate is ``time_idx``: its distinct values map
+        back onto the cube's epoch axis, so a temporal-cube user gets
+        exactly the reference frame's time steps, not all of them."""
         spec = self.spec
         b = ref.agg(
             F.min("tile_x"), F.min("tile_y"), F.max("tile_x"), F.max("tile_y")
@@ -102,7 +123,17 @@ class GeocubeAccessor:
         _, miny, maxx, _ = spec.grid.tile_bounds(pd.Series([b[2]]), pd.Series([b[3]]))
         eps = spec.grid.geobox.res / 2
         roi = (float(minx[0]) + eps, float(miny[0]) + eps, float(maxx[0]) - eps, float(maxy0[0]) - eps)
-        return self.load(roi, persist=persist)
+
+        toi_epochs = None
+        if spec.time_epochs is not None and "time_idx" in ref.columns:
+            idxs = sorted(
+                int(r[0])
+                for r in ref.select("time_idx").distinct().collect()
+                if r[0] is not None and int(r[0]) >= 0
+            )
+            if idxs:
+                toi_epochs = [spec.time_epochs[i] for i in idxs]
+        return self.load(roi, toi_epochs=toi_epochs, persist=persist)
 
     def loaded_patches(self) -> list[str]:
         """The lineage chunk keys (reference zarr-attr list,
@@ -136,6 +167,21 @@ class GeocubeAccessor:
                 rows.append(json.load(f))
         return pd.DataFrame(rows)
 
+    def visualize_state(self, width: int = 40) -> str:
+        """Text Gantt of fill runs (reference ``visualize_state``
+        renders the event log with matplotlib, ``core/backend.py:95-185``;
+        plotting libs are out of scope here so the duration rollup is
+        rendered as ASCII bars — the *data* half is identical)."""
+        m = self.metrics()
+        if m.empty:
+            return "(no fill runs)"
+        top = max(float(m["sec"].max()), 1e-9)
+        lines = []
+        for _, r in m.iterrows():
+            bar = "#" * max(1, int(round(width * float(r["sec"]) / top)))
+            lines.append(f"{r['batch_id']}  {bar} {float(r['sec']):.2f}s ({int(r['written'])} chunks)")
+        return "\n".join(lines)
+
 
 # ---------------------------------------------------------------------------
 # dataset presets (reference datasets/, scaled pixel counts)
@@ -158,5 +204,30 @@ def tctrend_like(spark: SparkSession, path: str, chunk_px: int = 100) -> Geocube
         grid=TileGrid(geobox=gb, chunk_px=chunk_px),
         channels=("tcb_slope", "tcg_slope", "tcw_slope"),
         time_epochs=(1577836800, 1609459200, 1640995200, 1672531200),
+    )
+    return GeocubeAccessor(spark=spark, path=path, spec=spec)
+
+
+# yearly epochs 2017-01-01 .. 2024-01-01 (UTC midnight), mirroring
+# pd.date_range("2017-01-01", "2024-01-01", freq="YS") in the reference
+_ALPHAEARTH_EPOCHS = (
+    1483228800, 1514764800, 1546300800, 1577836800,
+    1609459200, 1640995200, 1672531200, 1704067200,
+)
+
+
+def alphaearth_like(spark: SparkSession, path: str, chunk_px: int = 100) -> GeocubeAccessor:
+    """AlphaEarth-style temporal EMBEDDING cube: 64 channels A00..A63
+    over 8 yearly steps on a global EPSG:4326 grid (reference
+    ``datasets/alphaearth.py:17-36``: channels ``[f"A{i:02d}" for i in
+    range(64)]``, yearly temporal extent, chunk 3600; pixel counts
+    scaled down like the other presets, math shape identical). The 64
+    channels are the cube-store mirror of the ``embeddings`` table's
+    64-dim ``array<float>`` column — one channel per embedding dim."""
+    gb = GeoBox(crs="EPSG:4326", x0=-180.0, y0=90.0, res=0.09, width=4000, height=2000)
+    spec = CubeSpec(
+        grid=TileGrid(geobox=gb, chunk_px=chunk_px),
+        channels=tuple(f"A{i:02d}" for i in range(64)),
+        time_epochs=_ALPHAEARTH_EPOCHS,
     )
     return GeocubeAccessor(spark=spark, path=path, spec=spec)

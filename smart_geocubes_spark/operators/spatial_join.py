@@ -44,18 +44,27 @@ def _cell_of(lon_col, lat_col):
 def explode_catalog_to_cells(spark: SparkSession, catalog: DataFrame) -> DataFrame:
     """Catalog -> one row per (patch, overlapping coarse cell). Runs on
     the driver (catalog is small by contract — the reference's extent
-    index is thousands of rows) and is broadcast by the join."""
+    index is thousands of rows) and is broadcast by the join. Fully
+    vectorized: per-patch cell spans are repeated/tiled with numpy, so
+    a 10^5-patch catalog explodes without a Python row loop."""
     pdf = catalog.toPandas()
-    rows = []
-    for r in pdf.itertuples(index=False):
-        x_lo = int(np.floor((r.minx + 180.0) / CELL_DEG))
-        x_hi = int(np.floor((r.maxx + 180.0) / CELL_DEG))
-        y_lo = int(np.floor((90.0 - r.maxy) / CELL_DEG))
-        y_hi = int(np.floor((90.0 - r.miny) / CELL_DEG))
-        for gx in range(x_lo, x_hi + 1):
-            for gy in range(y_lo, y_hi + 1):
-                rows.append((gx * 100000 + gy,) + tuple(r))
-    out = pd.DataFrame(rows, columns=["join_cell", *pdf.columns])
+    x_lo = np.floor((pdf["minx"].to_numpy(np.float64) + 180.0) / CELL_DEG).astype(np.int64)
+    x_hi = np.floor((pdf["maxx"].to_numpy(np.float64) + 180.0) / CELL_DEG).astype(np.int64)
+    y_lo = np.floor((90.0 - pdf["maxy"].to_numpy(np.float64)) / CELL_DEG).astype(np.int64)
+    y_hi = np.floor((90.0 - pdf["miny"].to_numpy(np.float64)) / CELL_DEG).astype(np.int64)
+    nx = x_hi - x_lo + 1
+    ny = y_hi - y_lo + 1
+    span = nx * ny
+    # row i expands to span[i] cells: offsets 0..span-1 decompose as
+    # (offset // ny, offset % ny) into the patch's (gx, gy) rectangle
+    idx = np.repeat(np.arange(len(pdf), dtype=np.int64), span)
+    off = np.arange(int(span.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(span)[:-1])), span
+    )
+    gx = x_lo[idx] + off // ny[idx]
+    gy = y_lo[idx] + off % ny[idx]
+    out = pdf.iloc[idx].reset_index(drop=True)
+    out.insert(0, "join_cell", gx * 100000 + gy)
     return spark.createDataFrame(out)
 
 

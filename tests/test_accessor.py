@@ -85,3 +85,71 @@ def test_current_state_none_when_empty(spark, tmp_path):
     acc = arcticdem_like(spark, str(tmp_path / "adem"))
     acc.create()
     assert acc.current_state() is None
+
+
+def test_load_like_derives_toi(spark, tmp_path):
+    """Temporal-cube load_like must return ONLY the reference frame's
+    time steps (reference core/accessor.py:302-329 derives both aoi and
+    toi from ref) — not all of them."""
+    acc = tctrend_like(spark, str(tmp_path / "tc"))
+    acc.create()
+    ref = acc.load(ROI_4326, toi_epochs=[1609459200])
+    again = acc.load_like(ref)
+    assert sorted(r[0] for r in again.select("time_idx").distinct().collect()) == [1]
+    assert again.count() == ref.count()
+    # and a multi-step ref round-trips its exact step set
+    ref2 = acc.load(ROI_4326, toi_epochs=[1577836800, 1640995200])
+    got = acc.load_like(ref2)
+    assert sorted(r[0] for r in got.select("time_idx").distinct().collect()) == [0, 2]
+
+
+def test_post_init_post_create_hooks(spark, tmp_path):
+    """Subclass extension seam (reference core/accessor.py:125-127,
+    298-300): post_init fires at construction, post_create after a
+    successful create()."""
+    from smart_geocubes_spark.accessor import GeocubeAccessor
+
+    calls: list[str] = []
+
+    class Hooked(GeocubeAccessor):
+        def post_init(self):
+            calls.append("init")
+
+        def post_create(self):
+            calls.append("create")
+
+    base = arcticdem_like(spark, str(tmp_path / "h"))
+    acc = Hooked(spark=spark, path=base.path, spec=base.spec)
+    assert calls == ["init"]
+    acc.create()
+    assert calls == ["init", "create"]
+    with pytest.raises(FileExistsError):
+        acc.create()
+    assert calls == ["init", "create"]  # failed create must not fire the hook
+
+
+def test_alphaearth_preset(spark, tmp_path):
+    """AlphaEarth-style embedding cube (reference datasets/alphaearth.py:
+    17-36): 64 channels A00..A63, 8 yearly steps, global 4326 grid."""
+    from smart_geocubes_spark.accessor import alphaearth_like
+
+    acc = alphaearth_like(spark, str(tmp_path / "ae"))
+    acc.create()
+    assert len(acc.spec.channels) == 64
+    assert acc.spec.channels[0] == "A00" and acc.spec.channels[-1] == "A63"
+    assert len(acc.spec.time_epochs) == 8
+    roi = (10.0, 40.0, 14.0, 44.0)
+    df = acc.load(roi, toi_epochs=[1483228800])
+    # (10..14E, 40..44N) at 9-deg tiles (100 px * 0.09) -> 1 tile,
+    # 64 channels x 1 step
+    assert df.count() == 64
+    assert df.select("channel").distinct().count() == 64
+    # golden block values: closed-form base (chunk_value_base, offset 0)
+    row = df.filter(F.col("channel") == "A07").select(
+        F.array_min("block").alias("mn")
+    ).collect()[0]
+    ty, tx = df.select("tile_y", "tile_x").first()[0:2]
+    assert row.mn == ty * 1000 + tx
+    # gantt text renders
+    s = acc.visualize_state()
+    assert "chunks" in s and "#" in s
