@@ -72,17 +72,27 @@ def dedup_exact(corpus: DataFrame) -> DataFrame:
     ).select("keeper_id", "n_copies")
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """8 min-wise hashes per doc: min over md5('<seed>|' || shingle)."""
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """``n_hashes`` min-wise hashes per doc: min over
+    md5('<seed>|' || shingle). Parameterized because recall is a
+    deployment knob: at 100 TB the default 8 hashes / 4 bands misses
+    ~(1-J^2)^4 of true pairs (10% at J=0.66) — production corpora want
+    16/8 or more (see tests/test_operators.py recall test)."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(N_MINHASH)
+        for i in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signatures (2 rows/band) and self-join on band key."""
+def lsh_candidate_pairs(
+    sig: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Band the signatures (n_hashes/n_bands rows per band) and
+    self-join on band key. Miss probability per true pair with Jaccard
+    J is (1 - J^rows)^bands — tune (n_hashes, n_bands) to the corpus."""
+    rows = n_hashes // n_bands
+    assert rows * n_bands == n_hashes, "n_bands must divide n_hashes"
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -90,11 +100,11 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias(
-                            "band_key"
-                        ),
+                        F.md5(
+                            F.concat(*[F.col(f"h{rows * b + r}") for r in range(rows)])
+                        ).alias("band_key"),
                     )
-                    for b in range(N_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band"),
@@ -137,12 +147,15 @@ def exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     return out
 
 
-def dedup_minhash_lsh(spark: SparkSession) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
     """Full MinHash-LSH dedup: near-dup pairs at Jaccard >= 0.5
-    (verified exactly; LSH only generates candidates)."""
+    (verified exactly; LSH only generates candidates). Defaults stay at
+    8/4 for oracle parity; pass 16/8+ for high-recall production runs."""
     corpus = corpus_df(spark)
     sh = shingles(corpus)
-    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), n_hashes, n_bands)
     j = exact_jaccard(pairs, sh)
     return j.filter(F.col("n_inter") * 2 >= F.col("n_union")).select(
         "id_a", "id_b", "n_inter", "n_union"

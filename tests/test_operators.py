@@ -191,3 +191,44 @@ class TestEmbeddingNeardup:
             map(tuple, embedding_neardup_pairs_allpairs(spark, emb, tau=0.45).collect())
         )
         assert got == want
+
+
+class TestMinhashRecall:
+    def test_more_bands_more_recall(self, spark):
+        """LSH recall is a deployment knob: ground truth = exact Jaccard
+        >= 0.5 over ALL shingle-sharing pairs; the default 8 hashes / 4
+        bands may miss true pairs ((1-J^2)^4 ~ 10% at J=0.66), while
+        16/8 must dominate it and capture (essentially) all of them."""
+        from pyspark.sql import functions as F
+
+        from smart_geocubes_spark.operators.dedup import (
+            corpus_df,
+            dedup_minhash_lsh,
+            exact_jaccard,
+            shingles,
+        )
+        from smart_geocubes_spark.queries import ensure_base_views
+
+        ensure_base_views(spark, "/root/testdata/sf0.01")
+        sh = shingles(corpus_df(spark))
+        # complete candidate set: any pair sharing >=1 shingle (J>0
+        # requires a shared shingle, so this is exhaustive)
+        all_pairs = (
+            sh.select(F.col("doc_id").alias("id_a"), "shingle")
+            .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        truth = {
+            (r.id_a, r.id_b)
+            for r in exact_jaccard(all_pairs, sh)
+            .filter(F.col("n_inter") * 2 >= F.col("n_union"))
+            .collect()
+        }
+        got_8_4 = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(spark).collect()}
+        got_16_8 = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(spark, 16, 8).collect()}
+        assert truth, "fixture must contain true near-dups"
+        assert got_8_4 <= truth and got_16_8 <= truth  # exact verify => no FPs
+        assert len(got_16_8) >= len(got_8_4)
+        assert len(got_16_8) / len(truth) >= 0.95
