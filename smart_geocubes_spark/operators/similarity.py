@@ -128,6 +128,68 @@ def embedding_neardup_pairs_allpairs(
     return pairs.filter(F.col("cos") >= F.lit(tau)).select("id_a", "id_b")
 
 
+def ann_ivf_topk(
+    spark: SparkSession, emb: DataFrame, k: int = 5, nprobe: int = 3
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a deterministic coarse quantizer —
+    every 50th vector is a centroid (sampled quantizer, no k-means
+    iterations to drift) — partitions the table into inverted lists by
+    max-cosine centroid; each query probes its ``nprobe`` nearest
+    centroids' lists and exact-reranks inside them.
+
+    Scale shape: the centroid set is tiny and broadcast twice (once to
+    assign, once to pick probe lists); the big side is scanned ONCE to
+    compute assignments and then hash-joined on ``list_id`` — no cross
+    join, no all-pairs. At 10^12 rows the assignment is the only full
+    pass and the probed fraction is nprobe/n_centroids of the data."""
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), _as_double("embedding").alias("v"))
+    cent = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # assignment: argmax cosine over the centroid set, which is collected
+    # (sample-sized by construction) and inlined as a literal array — the
+    # BIG side stays a one-pass projection inside codegen, with NO
+    # fan-out x n_centroids and NO per-row-key window (that plan dies at
+    # 10^12 rows, cf. the asof_nearest rewrite). Ties -> smaller cid via
+    # lexicographic struct max on (cos, -cid).
+    cent_rows = cent.collect()
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+            )
+            for r in cent_rows
+        ]
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            _cos_cols(F.col("v"), c["cv"]).alias("s"), (-c["cid"]).alias("negcid")
+        ),
+    )
+    lists = base.withColumn("list_id", -F.array_max(scored)["negcid"])
+    q = base.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    # probe lists: each query's nprobe nearest centroids
+    qc = q.crossJoin(F.broadcast(cent)).withColumn("ccos", _cos_cols(F.col("qv"), F.col("cv")))
+    wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", F.col("cid").alias("list_id"))
+    )
+    cand = lists.join(F.broadcast(probes), "list_id").filter(F.col("vec_id") != F.col("qid"))
+    cand = cand.withColumn("cos", _cos_cols(F.col("v"), F.col("qv")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
 def _planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
     rng = np.random.default_rng(42)
     return rng.standard_normal((n_planes, dim))

@@ -649,6 +649,60 @@ SELECT qid, neighbor_id, rank FROM (
 SQL_ANN_LSH = _ann_lsh_sql()
 
 
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {a}[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i] * {b}[i]))))"
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic sampled coarse quantizer, inverted lists
+    via literal-centroid argmax (one-pass, codegen), nprobe=3 probe +
+    exact re-rank. Oracle recomputes the same lists/probes with
+    row_number over centroid cosine."""
+    from smart_geocubes_spark.operators.similarity import ann_ivf_topk
+
+    ensure_base_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ann_ivf_topk(spark, emb, k=5, nprobe=3)
+
+
+SQL_ANN_IVF = f"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 50 = 0),
+asg AS (
+  SELECT vec_id, v, cid AS list_id FROM (
+    SELECT b.vec_id, b.v, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id ORDER BY {_duck_cos("b.v", "c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM base b CROSS JOIN cent c
+  ) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id % 25 = 0),
+probes AS (
+  SELECT qid, qv, cid AS list_id FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY {_duck_cos("q.qv", "c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) t WHERE rn <= 3
+)
+SELECT qid, neighbor_id, rank FROM (
+  SELECT p.qid, a.vec_id AS neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY p.qid ORDER BY {_duck_cos("a.v", "p.qv")} DESC, a.vec_id ASC
+         ) AS BIGINT) AS rank
+  FROM asg a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.qid
+) r WHERE rank <= 5
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_geocubes_spark.operators.textstats import lang_id
 
@@ -1434,6 +1488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh,
+    "ann_ivf_topk": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -1482,6 +1537,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_lsh_topk": SQL_ANN_LSH,
+    "ann_ivf_topk": SQL_ANN_IVF,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

@@ -168,3 +168,16 @@ def test_load_prunes_lineage_before_broadcast(spark, tmp_path):
     pushed = [seg[:300] for seg in plan.split("PushedFilters: ")[1:]]
     with_tile = [s for s in pushed if "tile_id" in s.split("]", 1)[0]]
     assert len(with_tile) >= 2, f"expected tile_id pushed to both scans: {pushed}"
+
+
+def test_ann_ivf_big_side_is_projection(spark):
+    """IVF assignment must be the literal-centroid argmax projection —
+    the embedding table reaches its list_id without any join or window
+    fan-out; only the sample-sized query/centroid sides may nest-loop."""
+    from smart_geocubes_spark.queries import ensure_base_views, q_ann_ivf
+
+    ensure_base_views(spark, SF)
+    plan = plan_of(q_ann_ivf(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # tiny q x cent only
+    assert "array_max" in plan  # the literal argmax projection
