@@ -782,6 +782,68 @@ GROUP BY doc_id
 # double divisions of those integers.
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data preprocessing funnel COMPOSED from the
+    individual operators: exact dedup (keeper = min doc_id per text) ->
+    lang-ID -> quality gate (qscore >= 0.18, n_chars >= 100) -> per-lang
+    doc/token/char rollup. One narrow pipeline: every stage is JVM
+    built-ins; the joins are on doc_id after a single text groupBy."""
+    from smart_geocubes_spark.operators.dedup import corpus_df
+    from smart_geocubes_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        token_counts,
+    )
+
+    ensure_base_views(spark, sf_dir)
+    corpus = corpus_df(spark)
+    keepers = corpus.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "text")
+    lang = lang_id(keepers).select("doc_id", "pred_lang")
+    qual = quality_score(keepers).select("doc_id", "qscore", "n_chars")
+    toks = token_counts(keepers).select("doc_id", "n_ws_tokens")
+    kept = (
+        keepers.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(toks, "doc_id")
+        .filter((F.col("qscore") >= 0.18) & (F.col("n_chars") >= 100))
+    )
+    return kept.groupBy("pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_ws_tokens").cast("long").alias("sum_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+SQL_CORPUS_FUNNEL = rf"""WITH corpus AS ({CORPUS_SQL}),
+keepers AS (SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+feat AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+         len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS n_en,
+         len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS n_de,
+         len(regexp_extract_all(text, '\b(le|la|et|des)\b')) AS n_fr
+  FROM keepers
+),
+scored AS (
+  SELECT *,
+         CAST(n_tokens AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)
+           - CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS qscore,
+         CASE WHEN n_en >= n_de AND n_en >= n_fr THEN 'en'
+              WHEN n_de >= n_fr THEN 'de' ELSE 'fr' END AS pred_lang
+  FROM feat
+)
+SELECT pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_ws_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM scored WHERE qscore >= 0.18 AND n_chars >= 100
+GROUP BY 1
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: multi-measure hash aggregation with map-side
     partial aggregation (A1/A4 class)."""
@@ -1493,6 +1555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "corpus_funnel": q_corpus_funnel,
     "pricing_summary": q_pricing_summary,
     "topk_revenue": q_topk_revenue,
     "window_running": q_window_running,
@@ -1542,6 +1605,7 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "corpus_funnel": SQL_CORPUS_FUNNEL,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "topk_revenue": SQL_TOPK_REVENUE,
     "window_running": SQL_WINDOW_RUNNING,
