@@ -188,6 +188,61 @@ def dedup_ngram_jaccard(spark: SparkSession) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs -> one canonical doc
+    per duplicate CLUSTER (cluster_id = min doc_id reachable): the step
+    that turns pairwise candidates into the keep/drop decision of a
+    training-data pipeline.
+
+    Iterative min-label propagation on DataFrames: each round every
+    vertex takes the min of its own label and its neighbors' labels
+    (one hash join + one groupBy per round); converges in O(component
+    diameter) rounds — near-dup clusters are shallow (dozens of docs,
+    diameter a few hops), so this is a handful of rounds even at 10^12
+    docs. Each round is checkpointed via localCheckpoint to truncate
+    the lineage (iterative plans otherwise grow unboundedly). This is
+    the simple-propagation variant of the large-star/small-star
+    connected-components algorithm.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").cast("long").alias("doc_id"), F.col("lbl").cast("long").alias("cluster_id")
+    )
+
+
 def simhash_signatures(spark: SparkSession, n_bits: int = 16) -> DataFrame:
     """SimHash over shingle md5s: bit j of the signature is the sign of
     sum(+-1) where +-1 comes from the parity of hex digit j of each

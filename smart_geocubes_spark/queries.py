@@ -504,6 +504,64 @@ WHERE i.n_inter * 2 >= za.sz + zb.sz - i.n_inter
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs ->
+    (doc_id, cluster_id = min doc_id in component): the canonicalization
+    step of a dedup pipeline. Spark side is ITERATIVE min-label
+    propagation (checkpointed rounds); the oracle closes the same edge
+    set transitively with a recursive CTE — a full-strength check of an
+    iterative distributed algorithm against declarative SQL."""
+    from smart_geocubes_spark.operators.dedup import dedup_clusters
+
+    ensure_base_views(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark).select("id_a", "id_b")
+    return dedup_clusters(spark, pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+{_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, {_SIG_COLS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cpairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE i.n_inter * 2 >= za.sz + zb.sz - i.n_inter
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM dup
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_base_views(spark, sf_dir)
     return dedup_ngram_jaccard(spark)
@@ -1545,6 +1603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "antimeridian_norm": q_antimeridian,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "simhash": q_simhash,
     "ann_cosine_topk": q_ann_cosine,
@@ -1595,6 +1654,7 @@ ORACLES: dict[str, str] = {
     "antimeridian_norm": SQL_ANTIMERIDIAN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_COSINE,
