@@ -85,7 +85,11 @@ def knn_join(
         F.col("lat") - F.col("qy")
     ) * (F.col("lat") - F.col("qy"))
     cand = pts.join(disk_df, ["cx", "cy"], "inner").withColumn("d2", d2)
-    prov = _topk(cand, k)
+    # provisional top-k feeds two consumers (the bound stats and the
+    # result); localCheckpoint materializes it once (|Q|*k rows, executor
+    # storage) so the candidate join+window doesn't run twice, with no
+    # explicit unpersist to leak.
+    prov = _topk(cand, k).localCheckpoint(eager=True)
     # 4. exactness bound: kth distance must beat the unexplored region.
     # Only the per-qid STATS (|Q| rows) come to the driver — the top-k
     # rows themselves stay distributed (a toPandas/createDataFrame

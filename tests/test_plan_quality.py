@@ -127,25 +127,28 @@ def test_embedding_neardup_has_no_nested_loop(spark):
     assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
 
 
-def test_knn_exact_path_stays_distributed(spark):
-    """No driver round-trip in the kNN operator: the returned plan must
-    not originate from a LocalTableScan/parallelized pandas frame on the
-    exact path (only the tiny query-disk side is driver-built)."""
+def test_knn_exact_path_stays_distributed(spark, monkeypatch):
+    """No driver round-trip in the kNN operator: knn_join must build and
+    collect its result without EVER calling toPandas (the round-1 code
+    shipped all provisional top-k rows driver-side and back; only the
+    per-qid stats may be collected)."""
     import pandas as pd
+    from pyspark.sql import DataFrame
 
     from smart_geocubes_spark.operators.knn import knn_join
 
+    def boom(self):
+        raise AssertionError("driver round-trip (toPandas) inside knn_join")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
     pts = spark.range(2000).selectExpr(
         "id AS point_id",
         "CAST(-150 + (id % 100) * 0.01 AS DOUBLE) AS lon",
         "CAST(62 + (id % 80) * 0.01 AS DOUBLE) AS lat",
     )
     q = pd.DataFrame({"qid": [1, 2], "qx": [-149.7, -149.5], "qy": [62.3, 62.5]})
-    df = knn_join(spark, pts, q, k=3)
-    plan = plan_of(df)
-    # the point side must come from the distributed range, not a
-    # collected-and-reparallelized local table
-    assert "Range (0, 2000" in plan
+    got = knn_join(spark, pts, q, k=3).collect()
+    assert len(got) == 6  # 2 queries x top-3, fully distributed
 
 
 def test_load_prunes_lineage_before_broadcast(spark, tmp_path):
