@@ -707,6 +707,70 @@ SELECT qid, neighbor_id, rank FROM (
 SQL_ANN_LSH = _ann_lsh_sql()
 
 
+def q_geoparse_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geoparse from the TEXT BODY (the input_hint's text path, vs the
+    URL path of q_geoparse): html -> FROZEN extractor -> JVM regex over
+    the extracted text. Cross-validates the whole extract+parse chain:
+    the oracle parses the generator's text column, so any drift in the
+    extractor OR the regex surfaces as a value mismatch."""
+    pages = pages_df(spark, sf_dir).select("page_id", "html")
+    txt = extract_text_udf()(F.col("html"))
+    d = pages.select(
+        "page_id",
+        F.regexp_extract(txt, r"geo (-?\d+),(-?\d+)", 1).alias("la"),
+        F.regexp_extract(txt, r"geo (-?\d+),(-?\d+)", 2).alias("lo"),
+    )
+    return d.filter(F.col("la") != "").select(
+        "page_id",
+        F.col("la").cast("long").alias("lat_e5_txt"),
+        F.col("lo").cast("long").alias("lon_e5_txt"),
+    )
+
+
+SQL_GEOPARSE_TEXT = f"""{ORACLE_PREFIX}
+SELECT page_id,
+       CAST(regexp_extract(text, 'geo (-?\\d+),(-?\\d+)', 1) AS BIGINT) AS lat_e5_txt,
+       CAST(regexp_extract(text, 'geo (-?\\d+),(-?\\d+)', 2) AS BIGINT) AS lon_e5_txt
+FROM pages WHERE has_geo
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization of the embedding column (the storage
+    op of a vector pipeline): scale = max|x| per vector, q_i =
+    floor(x_i * 127 / scale). Entirely JVM higher-order functions —
+    no Python — and the oracle recomputes the identical doubles (max is
+    order-independent; the per-element expression matches term order),
+    so the integer outputs are exact."""
+    ensure_base_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.floor(x * F.lit(127.0) / mx).cast("long"))
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qq AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y)))) AS BIGINT)) AS q
+  FROM base
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       list_min(q) AS q_min,
+       list_max(q) AS q_max
+FROM qq
+"""
+
+
 def _duck_cos(a: str, b: str) -> str:
     return (
         f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
@@ -1610,6 +1674,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "geoparse_text": q_geoparse_text,
+    "embedding_quantize": q_embedding_quantize,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -1661,6 +1727,8 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_lsh_topk": SQL_ANN_LSH,
     "ann_ivf_topk": SQL_ANN_IVF,
+    "geoparse_text": SQL_GEOPARSE_TEXT,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
