@@ -188,6 +188,63 @@ def dedup_ngram_jaccard(spark: SparkSession) -> DataFrame:
     )
 
 
+def simhash_neardup(
+    spark: SparkSession, max_hamming: int = 3, n_bands: int = 4, n_bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup pairs: docs whose 16-bit simhash signatures
+    differ in <= ``max_hamming`` bits, WITHOUT an all-pairs join.
+
+    Banding with a pigeonhole GUARANTEE (unlike MinHash banding, which
+    is probabilistic): the signature is split into ``n_bands`` bit
+    slices; a pair differing in <= n_bands-1 bits must agree on at
+    least one whole band, so the band equi-join provably generates
+    every qualifying candidate (requires max_hamming <= n_bands - 1,
+    asserted). Exact verify = bit_count(xor) <= max_hamming. The oracle
+    computes the ALL-PAIRS hamming join directly, so the gate checks
+    the banding's completeness, not just self-consistency."""
+    assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs max_hamming < n_bands"
+    width = n_bits // n_bands
+    sig = simhash_signatures(spark, n_bits)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), width * b)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(ham <= max_hamming).select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    )
+
+
 def dedup_clusters(spark: SparkSession, pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over near-dup pairs -> one canonical doc
     per duplicate CLUSTER (cluster_id = min doc_id reachable): the step

@@ -613,6 +613,30 @@ FROM sh2 GROUP BY doc_id
 """
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-hamming SimHash near-dup join (pigeonhole-complete — see
+    operators.dedup.simhash_neardup). Oracle = ALL-PAIRS hamming join,
+    so the gate verifies the banding misses nothing."""
+    from smart_geocubes_spark.operators.dedup import simhash_neardup
+
+    ensure_base_views(spark, sf_dir)
+    return simhash_neardup(spark)
+
+
+SQL_SIMHASH_NEARDUP = f"""WITH corpus AS ({CORPUS_SQL}),
+{_SHINGLE_CTE},
+sh2 AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+sig AS (
+  SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+  FROM sh2 GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_geocubes_spark.operators.similarity import ann_cosine_topk
 
@@ -1670,6 +1694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "ann_cosine_topk": q_ann_cosine,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh,
@@ -1723,6 +1748,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "simhash": SQL_SIMHASH,
+    "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_lsh_topk": SQL_ANN_LSH,
