@@ -24,14 +24,17 @@ STOPWORD_RE = r"\b(the|a|and|of|to|in)\b"
 FP_GRAM = 8
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, keep: bool = False) -> DataFrame:
     """Marker-word counts per language + argmax prediction (ties ->
-    alphabetical first, deterministic)."""
+    alphabetical first, deterministic). ``keep=True`` preserves the
+    input columns so the op composes into single-pass pipelines (the
+    corpus funnel chains lang -> quality -> tokens with ZERO joins —
+    all three are projections of text)."""
     cols = [
         F.regexp_count(F.col("text"), F.lit(rx)).cast("long").alias(f"n_{lang}")
         for lang, rx in LANG_MARKERS.items()
     ]
-    d = docs.select("doc_id", *cols)
+    d = docs.select(*(["*"] if keep else ["doc_id"]), *cols)
     # argmax derived from LANG_MARKERS (insertion order breaks ties), so
     # adding a language keeps counts and prediction in sync
     langs = list(LANG_MARKERS)
@@ -45,14 +48,14 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return d.withColumn("pred_lang", pred)
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, keep: bool = False) -> DataFrame:
     """Length/punctuation/stopword-ratio quality features + a composite
-    score (all integer/double column math)."""
+    score (all integer/double column math). ``keep=True``: see lang_id."""
     n_tokens = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+")).cast("long")
     n_punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("long")
     n_stop = F.regexp_count(F.col("text"), F.lit(STOPWORD_RE)).cast("long")
     d = docs.select(
-        "doc_id",
+        *(["*"] if keep else ["doc_id"]),
         F.length("text").cast("long").alias("n_chars"),
         n_tokens.alias("n_tokens"),
         n_punct.alias("n_punct"),
@@ -70,10 +73,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def token_counts(docs: DataFrame) -> DataFrame:
-    """Whitespace tokens + BPE-ish subtoken count (regex classes)."""
+def token_counts(docs: DataFrame, keep: bool = False) -> DataFrame:
+    """Whitespace tokens + BPE-ish subtoken count (regex classes).
+    ``keep=True``: see lang_id."""
     return docs.select(
-        "doc_id",
+        *(["*"] if keep else ["doc_id"]),
         F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("long").alias("n_subtokens"),
     )

@@ -933,7 +933,8 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     individual operators: exact dedup (keeper = min doc_id per text) ->
     lang-ID -> quality gate (qscore >= 0.18, n_chars >= 100) -> per-lang
     doc/token/char rollup. One narrow pipeline: every stage is JVM
-    built-ins; the joins are on doc_id after a single text groupBy."""
+    built-ins chained as projections (keep=True) — no joins at all;
+    the only shuffles are the dedup groupBy and the final rollup."""
     from smart_geocubes_spark.operators.dedup import corpus_df
     from smart_geocubes_spark.operators.textstats import (
         lang_id,
@@ -944,15 +945,11 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_base_views(spark, sf_dir)
     corpus = corpus_df(spark)
     keepers = corpus.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "text")
-    lang = lang_id(keepers).select("doc_id", "pred_lang")
-    qual = quality_score(keepers).select("doc_id", "qscore", "n_chars")
-    toks = token_counts(keepers).select("doc_id", "n_ws_tokens")
-    kept = (
-        keepers.join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(toks, "doc_id")
-        .filter((F.col("qscore") >= 0.18) & (F.col("n_chars") >= 100))
-    )
+    # single-pass composition: the three feature ops are projections of
+    # text, chained with keep=True — ZERO joins between stages; the only
+    # shuffles are the dedup groupBy and the final rollup.
+    feats = token_counts(quality_score(lang_id(keepers, keep=True), keep=True), keep=True)
+    kept = feats.filter((F.col("qscore") >= 0.18) & (F.col("n_chars") >= 100))
     return kept.groupBy("pred_lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_ws_tokens").cast("long").alias("sum_tokens"),

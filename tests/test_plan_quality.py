@@ -184,3 +184,14 @@ def test_ann_ivf_big_side_is_projection(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # tiny q x cent only
     assert "array_max" in plan  # the literal argmax projection
+
+
+def test_corpus_funnel_is_join_free(spark):
+    """The funnel composes lang/quality/token ops as PROJECTIONS
+    (keep=True): no join anywhere — only the dedup groupBy and the
+    final rollup shuffle."""
+    from smart_geocubes_spark.queries import q_corpus_funnel
+
+    plan = plan_of(q_corpus_funnel(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # dedup groupBy + final rollup
