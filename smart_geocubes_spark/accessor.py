@@ -80,8 +80,10 @@ class GeocubeAccessor:
         if not self.created:
             raise FileNotFoundError(f"cube not created: {self.path}")
 
-    def fill(self, roi: BBox, toi_epochs: list[int] | None = None) -> dict:
-        """procedural_download analog: idempotent cache fill."""
+    def fill(self, roi: BBox | list[BBox], toi_epochs: list[int] | None = None) -> dict:
+        """procedural_download analog: idempotent cache fill. ``roi``
+        may be a LIST of bboxes (reference GeoDataFrame batch branch,
+        core/accessor.py:400-426) — one job fills the deduped union."""
         self.assert_created()
         return materialize(self.spark, self.path, roi, toi_epochs)
 
@@ -108,13 +110,17 @@ class GeocubeAccessor:
         df = load_blocks(self.spark, self.path, roi, toi_epochs)
         return df.toPandas() if persist else df
 
-    def load_like(self, ref: DataFrame, persist: bool = False) -> DataFrame | pd.DataFrame:
+    def load_like(
+        self, ref: DataFrame, persist: bool = False, buffer: int = 0
+    ) -> DataFrame | pd.DataFrame:
         """Derive ROI AND TOI from another result frame (reference
         ``load_like``, core/accessor.py:302-329: aoi from ``ref.geobox``,
         toi from ``ref``'s time coordinate when the cube is temporal).
         Here the time coordinate is ``time_idx``: its distinct values map
         back onto the cube's epoch axis, so a temporal-cube user gets
-        exactly the reference frame's time steps, not all of them."""
+        exactly the reference frame's time steps, not all of them.
+        ``buffer``: pixels added around the derived ROI (the reference's
+        ``buffer`` load param)."""
         spec = self.spec
         b = ref.agg(
             F.min("tile_x"), F.min("tile_y"), F.max("tile_x"), F.max("tile_y")
@@ -122,7 +128,13 @@ class GeocubeAccessor:
         minx, _, _, maxy0 = spec.grid.tile_bounds(pd.Series([b[0]]), pd.Series([b[1]]))
         _, miny, maxx, _ = spec.grid.tile_bounds(pd.Series([b[2]]), pd.Series([b[3]]))
         eps = spec.grid.geobox.res / 2
-        roi = (float(minx[0]) + eps, float(miny[0]) + eps, float(maxx[0]) - eps, float(maxy0[0]) - eps)
+        buf = buffer * spec.grid.geobox.res
+        roi = (
+            float(minx[0]) + eps - buf,
+            float(miny[0]) + eps - buf,
+            float(maxx[0]) - eps + buf,
+            float(maxy0[0]) - eps + buf,
+        )
 
         toi_epochs = None
         if spec.time_epochs is not None and "time_idx" in ref.columns:

@@ -144,14 +144,21 @@ def read_lineage(spark: SparkSession, path: str) -> DataFrame:
 def candidate_chunks(
     spark: SparkSession,
     spec: CubeSpec,
-    roi_bbox: tuple[float, float, float, float],
+    roi_bbox: tuple[float, float, float, float] | list[tuple[float, float, float, float]],
     toi_epochs: list[int] | None = None,
 ) -> DataFrame:
     """Tile-coverage enumeration x TOI x channels (reference
     ``adjacent_patches``: grid tiles intersecting ROI,
     ``accessors/gee.py:109-112``; temporal cross product
-    ``accessors/gee.py:128-143``)."""
-    tiles = spec.grid.tiles_overlapping_bbox(*roi_bbox)
+    ``accessors/gee.py:128-143``).
+
+    ``roi_bbox`` may be a LIST of bboxes — the reference's GeoDataFrame
+    branch (``core/accessor.py:400-426``: a batch of query geometries):
+    tile sets are unioned and deduped, so one fill covers them all."""
+    rois = roi_bbox if isinstance(roi_bbox, list) else [roi_bbox]
+    tile_arrays = [spec.grid.tiles_overlapping_bbox(*r) for r in rois]
+    tiles = np.unique(np.concatenate([t for t in tile_arrays if len(t)] or
+                                     [np.empty((0, 2), dtype=np.int64)]), axis=0)
     if len(tiles) == 0:
         raise ValueError("ROI does not intersect the cube extent")
     nx = spec.grid.n_tiles_x
@@ -205,7 +212,7 @@ def _gen_blocks_factory(chunk_px: int):
 def materialize(
     spark: SparkSession,
     path: str,
-    roi_bbox: tuple[float, float, float, float],
+    roi_bbox: tuple[float, float, float, float] | list[tuple[float, float, float, float]],
     toi_epochs: list[int] | None = None,
     fail_after_blocks: bool = False,
 ) -> dict:

@@ -153,3 +153,33 @@ def test_alphaearth_preset(spark, tmp_path):
     # gantt text renders
     s = acc.visualize_state()
     assert "chunks" in s and "#" in s
+
+
+def test_fill_batch_rois(spark, tmp_path):
+    """Batch-ROI fill (reference GeoDataFrame branch): one job fills the
+    deduped union of tile sets; equivalent to sequential fills and
+    idempotent against them."""
+    acc = arcticdem_like(spark, str(tmp_path / "a"))
+    acc.create()
+    roi_b = (-400_000.0, -1_500_000.0, 100_000.0, -1_000_000.0)  # overlaps ROI_POLAR
+    m = acc.fill([ROI_POLAR, roi_b])
+    # sequential fills on a twin cube must commit the same chunk set
+    acc2 = arcticdem_like(spark, str(tmp_path / "b"))
+    acc2.create()
+    n_seq = acc2.fill(ROI_POLAR)["written"] + acc2.fill(roi_b)["written"]
+    assert m["written"] == n_seq
+    assert sorted(acc.loaded_patches()) == sorted(acc2.loaded_patches())
+    # and refilling the batch writes nothing
+    assert acc.fill([ROI_POLAR, roi_b])["written"] == 0
+
+
+def test_load_like_buffer(spark, tmp_path):
+    """buffer=N pixels widens the derived ROI (reference load param)."""
+    acc = arcticdem_like(spark, str(tmp_path / "a"))
+    ref = acc.load(ROI_POLAR, create=True)
+    base = acc.load_like(ref)
+    # one full chunk of buffer pulls in the neighboring tile ring
+    buffered = acc.load_like(ref, buffer=acc.spec.grid.chunk_px)
+    assert buffered.select("tile_id").distinct().count() > base.select(
+        "tile_id"
+    ).distinct().count()
