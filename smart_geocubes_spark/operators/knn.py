@@ -43,6 +43,53 @@ def _topk(cand: DataFrame, k: int) -> DataFrame:
     )
 
 
+def distance_join(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    cell_deg: float = 1.0,
+) -> DataFrame:
+    """Distance-band (threshold) spatial join: all (query, point) pairs
+    with Euclidean degree-distance <= ``radius``. The fixed-radius
+    sibling of :func:`knn_join`: queries explode onto the 3x3 cell disk
+    around their own cell (JVM explode — COVERAGE GUARANTEE: any point
+    within radius <= cell_deg lies in that disk, asserted) and
+    broadcast; points compute one cell, hash equi-join, exact d2
+    filter. Big side: one pass, no shuffle beyond the broadcast join."""
+    assert radius <= cell_deg, "3x3 disk only covers radius <= cell_deg"
+    pcx, pcy = _cell_cols(F.col("lon"), F.col("lat"), cell_deg)
+    pts = points.select("point_id", "lon", "lat", pcx.alias("cx"), pcy.alias("cy"))
+    qcx, qcy = _cell_cols(F.col("qx"), F.col("qy"), cell_deg)
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    disk = (
+        queries.select("qid", "qx", "qy", qcx.alias("qcx"), qcy.alias("qcy"))
+        .withColumn("o", F.explode(offs))
+        .select(
+            "qid",
+            "qx",
+            "qy",
+            (F.col("qcx") + F.col("o.dx")).alias("cx"),
+            (F.col("qcy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("lon") - F.col("qx")) * (F.col("lon") - F.col("qx")) + (
+        F.col("lat") - F.col("qy")
+    ) * (F.col("lat") - F.col("qy"))
+    return (
+        pts.join(F.broadcast(disk), ["cx", "cy"], "inner")
+        .filter(F.col("point_id") != F.col("qid"))
+        .filter(d2 <= F.lit(radius * radius))
+        .select("qid", "point_id")
+    )
+
+
 def knn_join(
     spark: SparkSession,
     points: DataFrame,

@@ -223,6 +223,36 @@ SELECT qid, neighbor_id, rank FROM (
 """
 
 
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius spatial join (every page within 0.8 deg of each
+    query page): cell-bucketed with a 3x3-disk coverage guarantee, then
+    exact d2 filter. Oracle = brute-force theta join (small query side
+    makes that tractable for DuckDB)."""
+    from smart_geocubes_spark.operators.knn import distance_join
+
+    pts = _points(spark, sf_dir)
+    points = pts.select(F.col("page_id").alias("point_id"), "lon", "lat")
+    queries = pts.filter(F.col("page_id") % 500 == 0).select(
+        F.col("page_id").alias("qid"), F.col("lon").alias("qx"), F.col("lat").alias("qy")
+    )
+    j = distance_join(spark, points, queries, radius=0.8)
+    return j.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_neighbors"),
+        F.sum("point_id").cast("long").alias("sum_ids"),
+    )
+
+
+SQL_DISTANCE_JOIN = f"""{ORACLE_PREFIX},
+q AS (SELECT page_id AS qid, lon AS qx, lat AS qy FROM pts WHERE page_id % 500 = 0)
+SELECT q.qid, CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(sum(t.page_id) AS BIGINT) AS sum_ids
+FROM pts t JOIN q
+  ON ((t.lon - q.qx) * (t.lon - q.qx) + (t.lat - q.qy) * (t.lat - q.qy)) <= 0.64
+WHERE t.page_id <> q.qid
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # temporal: as-of nearest + interval join
 # ---------------------------------------------------------------------------
@@ -1681,6 +1711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_join_pip": q_spatial_join_pip,
     "spatial_join_polygon": q_spatial_join_polygon,
     "knn_ring": q_knn,
+    "distance_join": q_distance_join,
     "asof_time_nearest": q_asof_time,
     "range_join_time": q_range_join_time,
     "zonal_stats": q_zonal_stats,
@@ -1735,6 +1766,7 @@ ORACLES: dict[str, str] = {
     "spatial_join_pip": SQL_SPATIAL_JOIN_PIP,
     "spatial_join_polygon": SQL_SPATIAL_JOIN_POLYGON,
     "knn_ring": SQL_KNN,
+    "distance_join": SQL_DISTANCE_JOIN,
     "asof_time_nearest": SQL_ASOF_TIME,
     "range_join_time": SQL_RANGE_JOIN_TIME,
     "zonal_stats": SQL_ZONAL_STATS,
