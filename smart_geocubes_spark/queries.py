@@ -768,11 +768,13 @@ def q_geoparse_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle parses the generator's text column, so any drift in the
     extractor OR the regex surfaces as a value mismatch."""
     pages = pages_df(spark, sf_dir).select("page_id", "html")
-    txt = extract_text_udf()(F.col("html"))
-    d = pages.select(
+    # alias the UDF in its own projection so the extractor runs ONCE per
+    # row (nondeterministic exprs aren't inlined into both consumers)
+    ext = pages.select("page_id", extract_text_udf()(F.col("html")).alias("txt"))
+    d = ext.select(
         "page_id",
-        F.regexp_extract(txt, r"geo (-?\d+),(-?\d+)", 1).alias("la"),
-        F.regexp_extract(txt, r"geo (-?\d+),(-?\d+)", 2).alias("lo"),
+        F.regexp_extract(F.col("txt"), r"geo (-?\d+),(-?\d+)", 1).alias("la"),
+        F.regexp_extract(F.col("txt"), r"geo (-?\d+),(-?\d+)", 2).alias("lo"),
     )
     return d.filter(F.col("la") != "").select(
         "page_id",

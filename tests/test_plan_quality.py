@@ -195,3 +195,14 @@ def test_corpus_funnel_is_join_free(spark):
     plan = plan_of(q_corpus_funnel(spark, SF))
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # dedup groupBy + final rollup
+
+
+def test_geoparse_text_single_udf_eval(spark):
+    """The frozen extractor must run ONCE per row even though two regex
+    columns consume its output (unaliased, Catalyst put two _udf calls
+    in the eval node)."""
+    from smart_geocubes_spark.queries import q_geoparse_text
+
+    plan = plan_of(q_geoparse_text(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("_udf(") == 1
