@@ -206,3 +206,40 @@ def test_geoparse_text_single_udf_eval(spark):
     plan = plan_of(q_geoparse_text(spark, SF))
     assert plan.count("ArrowEvalPython") == 1
     assert plan.count("_udf(") == 1
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """North-rule skew evidence: on a Zipfian join key (90% of rows on
+    one key) AQE must actually SPLIT the hot partition — the final plan
+    carries SortMergeJoin(skew=true) / AQEShuffleRead skewed. Thresholds
+    are lowered to make fixture-scale data trip the same machinery that
+    100 TB trips with defaults."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(1000000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 1000 END AS k",
+            "repeat('x', 64) AS pad",
+            "id AS v",
+        )
+        right = spark.range(1000).selectExpr("id AS k", "id * 2 AS w")
+        j = left.join(right, "k").selectExpr("sum(v) AS s")
+        [row] = j.collect()
+        assert row.s is not None
+        plan = plan_of(j)
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
