@@ -99,3 +99,41 @@ def stream_windowed_event_counts(
     )
     q.awaitTermination()
     return spark.table("stream_event_counts")
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "dedup_stream",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicate page events
+    arriving in DIFFERENT micro-batches are dropped as long as they fall
+    within the event-time watermark (``dropDuplicatesWithinWatermark``),
+    so the dedup state store stays bounded by the watermark horizon
+    instead of growing with the stream — the streaming form of the
+    exact-dedup operator (batch analog: operators/dedup.dedup_exact).
+    availableNow drain; returns the deduped frame from the memory sink."""
+    schema = spark.read.parquet(events_parquet_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # dupes split across micro-batches
+        .parquet(events_parquet_dir)
+    )
+    deduped = (
+        src.withColumn("ts", F.timestamp_seconds(F.col("warc_epoch")))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["page_id"])
+    )
+    q = (
+        deduped.selectExpr("page_id", "host_id", "warc_epoch")
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -90,3 +90,33 @@ def test_stateful_host_ledger(spark, tmp_path):
     g = {r.host_id: (r.n_pages, r.n_chars, r.max_page_id) for r in got.collect()}
     w = {r.host_id: (r.n_pages, r.n_chars, r.max_page_id) for r in want.collect()}
     assert g == w
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicates arriving in different micro-batches (same page_id,
+    event times within the watermark) must come out exactly once, with
+    dedup state bounded by the watermark horizon."""
+    import os
+
+    from smart_geocubes_spark.streaming.pipeline import stream_dedup_within_watermark
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    base = spark.createDataFrame(
+        [(i, i % 5, 1577836800 + i) for i in range(50)],
+        "page_id long, host_id long, warc_epoch long",
+    )
+    # file 1: originals; file 2: every 5th page replayed 30 s later
+    base.coalesce(1).write.parquet(src_dir + "/f1")
+    base.filter("page_id % 5 = 0").withColumn(
+        "warc_epoch", base["warc_epoch"] + 30
+    ).coalesce(1).write.parquet(src_dir + "/f2")
+    flat = str(tmp_path / "flat")
+    spark.read.parquet(src_dir + "/f1", src_dir + "/f2").repartition(4).write.parquet(flat)
+
+    out = stream_dedup_within_watermark(
+        spark, flat, str(tmp_path / "ckpt"), query_name="dedup_stream_t"
+    )
+    got = out.groupBy("page_id").count().filter("count > 1").count()
+    assert got == 0
+    assert out.select("page_id").distinct().count() == 50
