@@ -232,3 +232,45 @@ class TestMinhashRecall:
         assert got_8_4 <= truth and got_16_8 <= truth  # exact verify => no FPs
         assert len(got_16_8) >= len(got_8_4)
         assert len(got_16_8) / len(truth) >= 0.95
+
+
+class TestAsofNearest:
+    def _run(self, spark, axis_rows, ts_list):
+        import pandas as pd
+
+        from smart_geocubes_spark.operators.temporal import asof_nearest
+
+        axis = spark.createDataFrame(
+            pd.DataFrame(axis_rows, columns=["time_idx", "epoch"])
+        ).selectExpr("CAST(time_idx AS INT) time_idx", "CAST(epoch AS LONG) epoch")
+        ev = spark.createDataFrame(
+            pd.DataFrame({"rid": range(len(ts_list)), "warc_epoch": ts_list})
+        )
+        out = asof_nearest(ev, axis).orderBy("rid").collect()
+        return [r.time_idx for r in out]
+
+    def test_exact_midpoint_snaps_earlier(self, spark):
+        # midpoint of (100, 200) is 150: abs-tie -> smaller time_idx
+        got = self._run(spark, [(0, 100), (1, 200)], [150, 149, 151, 100, 200, 0, 999])
+        assert got == [0, 0, 1, 0, 1, 0, 1]
+
+    def test_duplicate_epochs_take_min_idx(self, spark):
+        # two axis rows share epoch 200 -> the window formulation picked
+        # the smaller time_idx; the lookup must too
+        got = self._run(spark, [(0, 100), (1, 200), (2, 200), (3, 300)], [199, 201, 251])
+        assert got == [1, 1, 3]
+
+    def test_single_step_axis(self, spark):
+        got = self._run(spark, [(7, 500)], [0, 500, 10**9])
+        assert got == [7, 7, 7]
+
+    def test_duplicate_event_rows_preserved(self, spark):
+        import pandas as pd
+
+        from smart_geocubes_spark.operators.temporal import asof_nearest
+
+        axis = spark.createDataFrame(
+            pd.DataFrame({"time_idx": [0, 1], "epoch": [100, 200]})
+        ).selectExpr("CAST(time_idx AS INT) time_idx", "CAST(epoch AS LONG) epoch")
+        ev = spark.createDataFrame(pd.DataFrame({"warc_epoch": [120, 120, 120]}))
+        assert asof_nearest(ev, axis).count() == 3
