@@ -287,10 +287,15 @@ def _mp_throughput(procs: int, chunk: int = 40000) -> float:
     import multiprocessing as mp
 
     tasks = [(i * chunk, chunk) for i in range(procs * 3)]
-    t0 = time.time()
     with mp.Pool(procs) as p:
+        # warm every worker first (numpy/module imports) — otherwise the
+        # calibration understates bare metal and the Spark-vs-mp capture
+        # ratio reads >1, which overstates the host ceiling
+        p.map(_mp_kernel, [(0, 1000)] * procs)
+        t0 = time.time()
         p.map(_mp_kernel, tasks)
-    return len(tasks) * chunk / (time.time() - t0)
+        dt = time.time() - t0
+    return len(tasks) * chunk / dt
 
 
 def _scaling_worker(cores: int, n_rows: int) -> None:

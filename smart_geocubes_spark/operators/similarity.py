@@ -129,21 +129,31 @@ def embedding_neardup_pairs_allpairs(
 
 
 def ann_ivf_topk(
-    spark: SparkSession, emb: DataFrame, k: int = 5, nprobe: int = 3
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_mod: int = 50,
+    max_literal_centroids: int = 64,
+    max_centroids: int = 65536,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a deterministic coarse quantizer —
-    every 50th vector is a centroid (sampled quantizer, no k-means
-    iterations to drift) — partitions the table into inverted lists by
-    max-cosine centroid; each query probes its ``nprobe`` nearest
-    centroids' lists and exact-reranks inside them.
+    every ``centroid_mod``-th vector is a centroid (sampled quantizer,
+    no k-means iterations to drift) — partitions the table into
+    inverted lists by max-cosine centroid; each query probes its
+    ``nprobe`` nearest centroids' lists and exact-reranks inside them.
 
-    Scale shape: the centroid set is tiny and broadcast twice (once to
-    assign, once to pick probe lists); the big side is scanned ONCE to
-    compute assignments and then hash-joined on ``list_id`` — no cross
-    join, no all-pairs. At 10^12 rows the assignment is the only full
-    pass and the probed fraction is nprobe/n_centroids of the data."""
+    Scale shape: the centroid set is collected once (capped at
+    ``max_centroids`` — size centroid_mod so C ~ sqrt(n) stays under
+    it) and the big side is scanned ONCE to compute assignments, then
+    hash-joined on ``list_id`` — no cross join, no all-pairs. At 10^12
+    rows the assignment is the only full pass and the probed fraction
+    is nprobe/n_centroids of the data. Assignment has two physical
+    forms picked by C: literal-array argmax in codegen (tiny C), or a
+    single Arrow kernel with the centroid matrix in the closure
+    (C up to max_centroids — one numpy matmul per batch)."""
     base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), _as_double("embedding").alias("v"))
-    cent = base.filter(F.col("vec_id") % 50 == 0).select(
+    cent = base.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     # assignment: argmax cosine over the centroid set, which is collected
@@ -153,22 +163,47 @@ def ann_ivf_topk(
     # 10^12 rows, cf. the asof_nearest rewrite). Ties -> smaller cid via
     # lexicographic struct max on (cos, -cid).
     cent_rows = cent.collect()
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cid"])).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
-            )
-            for r in cent_rows
-        ]
-    )
-    scored = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            _cos_cols(F.col("v"), c["cv"]).alias("s"), (-c["cid"]).alias("negcid")
-        ),
-    )
-    lists = base.withColumn("list_id", -F.array_max(scored)["negcid"])
+    if len(cent_rows) > max_centroids:
+        raise ValueError(
+            f"{len(cent_rows)} centroids exceed max_centroids={max_centroids}: "
+            "raise centroid_mod so the coarse quantizer stays sample-sized "
+            "(C ~ sqrt(n) is the usual IVF choice)"
+        )
+    if len(cent_rows) <= max_literal_centroids:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["cid"])).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+                )
+                for r in cent_rows
+            ]
+        )
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                _cos_cols(F.col("v"), c["cv"]).alias("s"), (-c["cid"]).alias("negcid")
+            ),
+        )
+        lists = base.withColumn("list_id", -F.array_max(scored)["negcid"])
+    else:
+        # larger quantizers overflow codegen as literals: one Arrow hop
+        # with the (C x dim) centroid matrix in the closure — still a
+        # single pass over the big side, one numpy matmul per batch.
+        # argmax ties resolve to the lowest row index == smallest cid
+        # (cids sorted ascending), matching the literal path.
+        cids = np.array(sorted(int(r["cid"]) for r in cent_rows), dtype=np.int64)
+        by_cid = {int(r["cid"]): r["cv"] for r in cent_rows}
+        cm = np.array([by_cid[c] for c in cids], dtype=np.float64)
+        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+
+        @F.pandas_udf("long")
+        def assign_udf(vec: pd.Series) -> pd.Series:
+            m = np.stack(vec.to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return pd.Series(cids[np.argmax(m @ cm.T, axis=1)])
+
+        lists = base.withColumn("list_id", assign_udf(F.col("v")).cast("long"))
     q = base.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )

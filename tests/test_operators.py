@@ -274,3 +274,36 @@ class TestAsofNearest:
         ).selectExpr("CAST(time_idx AS INT) time_idx", "CAST(epoch AS LONG) epoch")
         ev = spark.createDataFrame(pd.DataFrame({"warc_epoch": [120, 120, 120]}))
         assert asof_nearest(ev, axis).count() == 3
+
+
+class TestIvf:
+    def test_kernel_assignment_path_matches_literal(self, spark):
+        """Forcing the Arrow-kernel assignment (max_literal_centroids=0)
+        must reproduce the literal-argmax path's output exactly —
+        fixture argmax margins dwarf float-order differences."""
+        from smart_geocubes_spark.operators.similarity import ann_ivf_topk
+        from smart_geocubes_spark.queries import ensure_base_views
+
+        ensure_base_views(spark, "/root/testdata/sf0.01")
+        emb = spark.table("embeddings")
+        lit = sorted(map(tuple, ann_ivf_topk(spark, emb, k=5, nprobe=3).collect()))
+        ker = sorted(
+            map(
+                tuple,
+                ann_ivf_topk(
+                    spark, emb, k=5, nprobe=3, max_literal_centroids=0
+                ).collect(),
+            )
+        )
+        assert lit == ker and len(lit) == 100
+
+    def test_centroid_cap_raises(self, spark):
+        from smart_geocubes_spark.operators.similarity import ann_ivf_topk
+        from smart_geocubes_spark.queries import ensure_base_views
+
+        ensure_base_views(spark, "/root/testdata/sf0.01")
+        emb = spark.table("embeddings")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="centroid_mod"):
+            ann_ivf_topk(spark, emb, centroid_mod=1, max_centroids=10)
