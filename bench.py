@@ -365,6 +365,31 @@ def run_scaling_pair(n_rows: int = 10_000_000, reps: int = 2, max_extra_rounds: 
     t8, t32 = min(times[8]), min(times[32])
     thr8, thr32 = n / t8, n / t32
     eff = thr32 / (4.0 * thr8)
+
+    # second N->4N pair at UNSATURATED core counts (local[2] vs
+    # local[8], 4M rows): at 32 active cores this box's one shared
+    # memory bus caps even bare multiprocessing (host ceiling above);
+    # a real N->4N cluster adds whole nodes instead. The 2->8 pair
+    # shows the engine's scaling where the hardware is not the
+    # confound; both pairs + the same-window calibrations are reported.
+    import subprocess as _sp
+
+    small: dict[int, list[float]] = {2: [], 8: []}
+    n_small = max(n_rows // 2, 1_000_000)
+    for cores in [2, 8, 2, 8]:
+        time.sleep(2)
+        p = _sp.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+             str(cores), str(n_small)],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("SCALING_SEC "):
+                small[cores].append(float(line.split()[1]))
+                break
+    eff_2_8 = None
+    if small[2] and small[8]:
+        eff_2_8 = round((n_small / min(small[8])) / (4.0 * (n_small / min(small[2]))), 3)
     # same-window engine-capture ratio: per run, how much of the box's
     # concurrent bare-metal kernel throughput Spark attains; the level
     # ratio cancels host drift between windows.
@@ -386,6 +411,10 @@ def run_scaling_pair(n_rows: int = 10_000_000, reps: int = 2, max_extra_rounds: 
         "local8_rows_per_sec": round(thr8, 1),
         "local32_rows_per_sec": round(thr32, 1),
         "efficiency_8_to_32": round(eff, 3),
+        "efficiency_2_to_8_unsaturated": eff_2_8,
+        "local2_sec_runs_small": [round(x, 2) for x in small[2]],
+        "local8_sec_runs_small": [round(x, 2) for x in small[8]],
+        "rows_small_pair": n_small,
     }
 
 
@@ -470,6 +499,7 @@ def main() -> None:
     # (Spark's share of what the shared memory subsystem allows).
     if scaling and "efficiency_8_to_32" in scaling:
         out["efficiency_8_to_32"] = scaling["efficiency_8_to_32"]
+        out["efficiency_2_to_8_unsaturated"] = scaling.get("efficiency_2_to_8_unsaturated")
         out["host_ceiling_mp_efficiency"] = scaling["host_ceiling_mp_efficiency"]
         out["engine_capture_ratio"] = scaling["engine_capture_ratio"]
         if scaling["host_ceiling_mp_efficiency"] > 0:
