@@ -592,6 +592,41 @@ FROM reach GROUP BY id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs containing any
+    "benchmark" needle (interior 40-char substrings of every 97th doc —
+    the held-out set). The needle set is collected (benchmark suites
+    are small by contract) and baked into ONE `exists(contains)` pass
+    over the corpus — no join, no fan-out; the big side stays a
+    single-pass projection. Oracle: EXISTS subquery over the same
+    needles."""
+    ensure_base_views(spark, sf_dir)
+    corpus = corpus_df(spark)
+    needles = [
+        r[0]
+        for r in spark.sql(
+            f"SELECT substr(text, 21, 40) FROM ({CORPUS_SQL}) WHERE doc_id % 97 = 0"
+            " AND length(text) >= 60"
+        ).collect()
+    ]
+    needle_arr = F.array(*[F.lit(n) for n in sorted(needles)])
+    hit = F.exists(needle_arr, lambda n: F.contains(F.col("text"), n))
+    return corpus.select("doc_id", hit.alias("contaminated")).filter(
+        F.col("contaminated")
+    ).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+SQL_DECONTAMINATE = f"""WITH corpus AS ({CORPUS_SQL}),
+needles AS (
+  SELECT substr(text, 21, 40) AS needle FROM corpus
+  WHERE doc_id % 97 = 0 AND length(text) >= 60
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id
+FROM corpus c
+WHERE EXISTS (SELECT 1 FROM needles n WHERE contains(c.text, n.needle))
+"""
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_base_views(spark, sf_dir)
     return dedup_ngram_jaccard(spark)
@@ -1722,6 +1757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
@@ -1777,6 +1813,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "decontaminate": SQL_DECONTAMINATE,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "simhash": SQL_SIMHASH,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
