@@ -826,6 +826,30 @@ FROM pages WHERE has_geo
 """
 
 
+def q_redact_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geoprivacy scrub (the PII-redaction op of a webtext pipeline):
+    coordinate mentions in the text body are replaced with a redaction
+    token; output is the redacted text (byte-exact hash-compared, like
+    the frozen extractor). Pure JVM regexp_replace — dialect-shared
+    pattern, no Python."""
+    pages = pages_df(spark, sf_dir).select("page_id", "text")
+    red = F.regexp_replace(F.col("text"), r"geo -?\d+,-?\d+", "geo [REDACTED]")
+    return pages.select(
+        "page_id",
+        red.alias("text_redacted"),
+        (F.length("text") - F.length(red)).cast("long").alias("chars_removed"),
+    )
+
+
+SQL_REDACT_COORDINATES = f"""{ORACLE_PREFIX}
+SELECT page_id,
+       regexp_replace(text, 'geo -?\\d+,-?\\d+', 'geo [REDACTED]') AS text_redacted,
+       CAST(length(text) - length(regexp_replace(text, 'geo -?\\d+,-?\\d+', 'geo [REDACTED]')) AS BIGINT)
+         AS chars_removed
+FROM pages
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric quantization of the embedding column (the storage
     op of a vector pipeline): scale = max|x| per vector, q_i =
@@ -1767,6 +1791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf,
     "geoparse_text": q_geoparse_text,
     "embedding_quantize": q_embedding_quantize,
+    "redact_coordinates": q_redact_coordinates,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -1823,6 +1848,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF,
     "geoparse_text": SQL_GEOPARSE_TEXT,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "redact_coordinates": SQL_REDACT_COORDINATES,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
