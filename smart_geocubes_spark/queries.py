@@ -860,10 +860,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_base_views(spark, sf_dir)
     emb = spark.table("embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.transform(v, lambda x: F.floor(x * F.lit(127.0) / mx).cast("long"))
-    return emb.select(
+    # hoist max|x| into its own column: inlined inside the transform
+    # lambda it would re-evaluate the O(d) max per ELEMENT (O(d^2)/row)
+    base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
+        v.alias("v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("mx"),
+    )
+    q = F.transform(F.col("v"), lambda x: F.floor(x * F.lit(127.0) / F.col("mx")).cast("long"))
+    return base.select(
+        "vec_id",
         F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
         F.array_min(q).alias("q_min"),
         F.array_max(q).alias("q_max"),
