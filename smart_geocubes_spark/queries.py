@@ -1084,6 +1084,93 @@ GROUP BY 1
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data mixing): keep
+    1/2 of en, 1/4 of de, 1/8 of fr documents by a Knuth-hash coin on
+    doc_id — reproducible across runs/engines (integer math only, no
+    rand()). The mixing-ratio op of corpus construction; at scale it is
+    a single filter projection, no shuffle at all."""
+    from smart_geocubes_spark.operators.textstats import lang_id
+
+    ensure_base_views(spark, sf_dir)
+    d = lang_id(spark.table("documents"), keep=True).select("doc_id", "pred_lang")
+    coin = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4096))
+    quota = (
+        F.when(F.col("pred_lang") == "en", F.lit(2048))
+        .when(F.col("pred_lang") == "de", F.lit(1024))
+        .otherwise(F.lit(512))
+    )
+    return d.filter(coin < quota).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "pred_lang"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = r"""WITH lang AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|and)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und)\b'))
+               AND len(regexp_extract_all(text, '\b(the|a|of|and)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|des)\b'))
+              THEN 'en'
+              WHEN len(regexp_extract_all(text, '\b(der|die|das|und)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|des)\b'))
+              THEN 'de' ELSE 'fr' END AS pred_lang
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang
+FROM lang
+WHERE (doc_id * 2654435761) % 4096 <
+      CASE pred_lang WHEN 'en' THEN 2048 WHEN 'de' THEN 1024 ELSE 512 END
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing plan (training batch construction): within each
+    language, docs ordered by doc_id are packed into bins of <= 2000
+    tokens via a running cumulative sum — bin = floor((cumsum - tokens)
+    / budget) (each doc assigned by the budget position where it
+    STARTS). One window over (lang, doc_id): a single shuffle on the
+    stratum key, deterministic, no Python."""
+    from pyspark.sql import Window
+
+    from smart_geocubes_spark.operators.textstats import lang_id, token_counts
+
+    ensure_base_views(spark, sf_dir)
+    d = token_counts(
+        lang_id(spark.table("documents"), keep=True), keep=True
+    ).select("doc_id", "pred_lang", "n_ws_tokens")
+    w = Window.partitionBy("pred_lang").orderBy("doc_id")
+    cum = F.sum("n_ws_tokens").over(w)
+    bin_id = F.floor((cum - F.col("n_ws_tokens")) / F.lit(2000)).cast("long")
+    out = d.select("doc_id", "pred_lang", bin_id.alias("bin_id"))
+    return out.groupBy("pred_lang", "bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
+SQL_PACK_SEQUENCES = r"""WITH feat AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+         CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|and)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und)\b'))
+               AND len(regexp_extract_all(text, '\b(the|a|of|and)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|des)\b'))
+              THEN 'en'
+              WHEN len(regexp_extract_all(text, '\b(der|die|das|und)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|des)\b'))
+              THEN 'de' ELSE 'fr' END AS pred_lang
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, pred_lang,
+         CAST(floor((sum(n_ws_tokens) OVER (PARTITION BY pred_lang ORDER BY doc_id)
+                     - n_ws_tokens) / 2000) AS BIGINT) AS bin_id
+  FROM feat
+)
+SELECT pred_lang, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM binned GROUP BY 1, 2
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: multi-measure hash aggregation with map-side
     partial aggregation (A1/A4 class)."""
@@ -1803,6 +1890,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "corpus_funnel": q_corpus_funnel,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "pricing_summary": q_pricing_summary,
     "topk_revenue": q_topk_revenue,
     "window_running": q_window_running,
@@ -1860,6 +1949,8 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "corpus_funnel": SQL_CORPUS_FUNNEL,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "topk_revenue": SQL_TOPK_REVENUE,
     "window_running": SQL_WINDOW_RUNNING,
