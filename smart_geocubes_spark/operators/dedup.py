@@ -295,6 +295,14 @@ def dedup_clusters(spark: SparkSession, pairs: DataFrame, max_iter: int = 50) ->
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels still moving after max_iter rounds: emitting them would
+        # be SILENTLY wrong (one component, several cluster_ids) — the
+        # keep/drop decision downstream would keep duplicates.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — a "
+            "component has diameter > max_iter; raise max_iter"
+        )
     return labels.select(
         F.col("id").cast("long").alias("doc_id"), F.col("lbl").cast("long").alias("cluster_id")
     )

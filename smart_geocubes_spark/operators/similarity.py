@@ -203,6 +203,9 @@ def ann_ivf_topk(
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             return pd.Series(cids[np.argmax(m @ cm.T, axis=1)])
 
+        # expensive kernel feeding an exchange: pin ONE evaluation
+        # (CLAUDE.md rule 4 — Catalyst double-evals deterministic UDFs)
+        assign_udf = assign_udf.asNondeterministic()
         lists = base.withColumn("list_id", assign_udf(F.col("v")).cast("long"))
     q = base.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")

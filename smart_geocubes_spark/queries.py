@@ -247,7 +247,7 @@ q AS (SELECT page_id AS qid, lon AS qx, lat AS qy FROM pts WHERE page_id % 500 =
 SELECT q.qid, CAST(count(*) AS BIGINT) AS n_neighbors,
        CAST(sum(t.page_id) AS BIGINT) AS sum_ids
 FROM pts t JOIN q
-  ON ((t.lon - q.qx) * (t.lon - q.qx) + (t.lat - q.qy) * (t.lat - q.qy)) <= 0.64
+  ON ((t.lon - q.qx) * (t.lon - q.qx) + (t.lat - q.qy) * (t.lat - q.qy)) <= {0.8 * 0.8!r}
 WHERE t.page_id <> q.qid
 GROUP BY 1
 """
@@ -802,7 +802,8 @@ def q_geoparse_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     the extracted text. Cross-validates the whole extract+parse chain:
     the oracle parses the generator's text column, so any drift in the
     extractor OR the regex surfaces as a value mismatch."""
-    pages = pages_df(spark, sf_dir).select("page_id", "html")
+    dp = spark.sparkContext.defaultParallelism
+    pages = pages_df(spark, sf_dir, parallelism=dp).select("page_id", "html")
     # alias the UDF in its own projection so the extractor runs ONCE per
     # row (nondeterministic exprs aren't inlined into both consumers)
     ext = pages.select("page_id", extract_text_udf()(F.col("html")).alias("txt"))
@@ -843,8 +844,8 @@ def q_redact_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REDACT_COORDINATES = f"""{ORACLE_PREFIX}
 SELECT page_id,
-       regexp_replace(text, 'geo -?\\d+,-?\\d+', 'geo [REDACTED]') AS text_redacted,
-       CAST(length(text) - length(regexp_replace(text, 'geo -?\\d+,-?\\d+', 'geo [REDACTED]')) AS BIGINT)
+       regexp_replace(text, 'geo -?\\d+,-?\\d+', 'geo [REDACTED]', 'g') AS text_redacted,
+       CAST(length(text) - length(regexp_replace(text, 'geo -?\\d+,-?\\d+', 'geo [REDACTED]', 'g')) AS BIGINT)
          AS chars_removed
 FROM pages
 """
@@ -862,10 +863,15 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     # hoist max|x| into its own column: inlined inside the transform
     # lambda it would re-evaluate the O(d) max per ELEMENT (O(d^2)/row)
+    # greatest(..., tiny) guards the all-zero vector (padding / failed
+    # encodes): ANSI mode would throw DIVIDE_BY_ZERO; with the guard a
+    # zero vector quantizes to all zeros in both engines.
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         v.alias("v"),
-        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("mx"),
+        F.greatest(
+            F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+        ).alias("mx"),
     )
     q = F.transform(F.col("v"), lambda x: F.floor(x * F.lit(127.0) / F.col("mx")).cast("long"))
     return base.select(
@@ -881,7 +887,7 @@ SQL_EMBEDDING_QUANTIZE = """WITH base AS (
 ),
 qq AS (
   SELECT vec_id,
-         list_transform(v, x -> CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y)))) AS BIGINT)) AS q
+         list_transform(v, x -> CAST(floor(x * 127.0 / greatest(list_max(list_transform(v, y -> abs(y))), 1e-30)) AS BIGINT)) AS q
   FROM base
 )
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -1094,7 +1100,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_base_views(spark, sf_dir)
     d = lang_id(spark.table("documents"), keep=True).select("doc_id", "pred_lang")
-    coin = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4096))
+    # reduce mod 2^20 BEFORE the Knuth multiply: doc_id * 2654435761
+    # overflows int64 (ANSI throws) past doc_id ~3.5e9 — exactly the
+    # scale this op documents itself for. (2^20 * 2654435761 < 2^63.)
+    coin = F.pmod(F.pmod(F.col("doc_id"), F.lit(1048576)) * F.lit(2654435761), F.lit(4096))
     quota = (
         F.when(F.col("pred_lang") == "en", F.lit(2048))
         .when(F.col("pred_lang") == "de", F.lit(1024))
@@ -1116,7 +1125,7 @@ SQL_STRATIFIED_SAMPLE = r"""WITH lang AS (
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang
 FROM lang
-WHERE (doc_id * 2654435761) % 4096 <
+WHERE ((doc_id % 1048576) * 2654435761) % 4096 <
       CASE pred_lang WHEN 'en' THEN 2048 WHEN 'de' THEN 1024 ELSE 512 END
 """
 
