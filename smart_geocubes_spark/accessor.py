@@ -149,7 +149,11 @@ class GeocubeAccessor:
 
     def loaded_patches(self) -> list[str]:
         """The lineage chunk keys (reference zarr-attr list,
-        core/accessor.py:155-166)."""
+        core/accessor.py:155-166). NOTE: returns a driver-side list for
+        API parity — it is cube-sized (one entry per committed chunk).
+        At 100 TB use ``read_lineage(spark, path)`` and keep it a
+        DataFrame; the engine itself never calls this (the cache skip
+        is the distributed anti-join in plans/materialize.py)."""
         return [
             r.chunk_key
             for r in read_lineage(self.spark, self.path).select("chunk_key").distinct().collect()
