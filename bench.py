@@ -468,14 +468,22 @@ def main() -> None:
 
     spark = make_session(cpus)
     queries = run_headline(spark, sf_dir)
+    # min-of-2 on the two throughput sections too — same noise story as
+    # the per-query timings (2-5x run-to-run swings on this shared box)
     tiles, mat_sec = materialize_job(spark)
+    tiles2, mat_sec2 = materialize_job(spark)
+    if tiles2 / mat_sec2 > tiles / mat_sec:
+        tiles, mat_sec = tiles2, mat_sec2
     tiles_per_sec = round(tiles / mat_sec, 1)
 
     # spatial-join throughput at the headline core count (mult=8 so the
     # measurement is compute- not overhead-dominated; workers are warm)
-    t0 = time.time()
-    n_rows = flagship_pipeline(spark, sf_dir, mult=8, cores=cpus)
-    join_sec = time.time() - t0
+    join_sec = None
+    for _ in range(2):
+        t0 = time.time()
+        n_rows = flagship_pipeline(spark, sf_dir, mult=8, cores=cpus)
+        dt = time.time() - t0
+        join_sec = dt if join_sec is None else min(join_sec, dt)
     join_rows_per_sec = round(n_rows / join_sec, 1)
     spark.stop()
 
