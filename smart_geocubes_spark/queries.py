@@ -1090,6 +1090,49 @@ GROUP BY 1
 """
 
 
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join (TPC-H Q5 shape): region -> nation -> customer
+    -> orders -> lineitem with a segment filter, revenue per nation in
+    integer cents. Exercises Catalyst's join ordering + broadcast
+    selection across the dimension chain: region/nation/customer
+    broadcast, the two fact tables hash-join — no dimension ever
+    shuffles the fact side twice."""
+    ensure_base_views(spark, sf_dir)
+    cust = (
+        spark.table("customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    nation = spark.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = spark.table("region").select("r_regionkey", "r_name")
+    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    li = spark.table("lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.sum(rev_cents).alias("revenue_cents"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+SQL_STAR_JOIN_REVENUE = """SELECT r.r_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data mixing): keep
     1/2 of en, 1/4 of de, 1/8 of fr documents by a Knuth-hash coin on
@@ -1903,6 +1946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "pricing_summary": q_pricing_summary,
     "topk_revenue": q_topk_revenue,
+    "star_join_revenue": q_star_join_revenue,
     "window_running": q_window_running,
     "sessionize": q_sessionize,
     "set_ops": q_set_ops,
@@ -1962,6 +2006,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "topk_revenue": SQL_TOPK_REVENUE,
+    "star_join_revenue": SQL_STAR_JOIN_REVENUE,
     "window_running": SQL_WINDOW_RUNNING,
     "sessionize": SQL_SESSIONIZE,
     "set_ops": SQL_SET_OPS,

@@ -243,3 +243,15 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """The 5-table star join must broadcast every dimension (region/
+    nation/customer) and hash-join the fact chain — the fact table must
+    never go through a nested loop or be exchanged once per dimension."""
+    from smart_geocubes_spark.queries import q_star_join_revenue
+
+    plan = plan_of(q_star_join_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
