@@ -62,6 +62,48 @@ def asof_nearest(events: DataFrame, axis: DataFrame, ts_col: str = "warc_epoch")
     return events.withColumn("time_idx", F.element_at(idx_arr, pos + F.lit(1)))
 
 
+def merge_asof_backward(
+    events: DataFrame,
+    table: DataFrame,
+    by_col: str,
+    ts_col: str,
+    t_col: str,
+) -> DataFrame:
+    """Keyed as-of join (pandas ``merge_asof(direction='backward',
+    by=...)`` analog): for each event row, the greatest ``t_col`` <=
+    event ``ts_col`` among table rows in the same ``by_col`` group.
+
+    ``table`` is catalog-sized by contract, so its per-key sorted time
+    axes are collected and baked in as ONE map literal
+    (key -> sorted epoch array); the per-event lookup is a count of
+    entries <= ts into that key's array (same shape as
+    :func:`asof_nearest`, generalized to keyed axes). The event side
+    stays a one-pass projection: zero joins, zero shuffles, zero
+    fan-out — vs the join+window formulation that shuffles the event
+    table on (key, ts). Adds ``asof_t`` (nullable: no match)."""
+    rows = table.select(by_col, t_col).filter(F.col(t_col).isNotNull()).collect()
+    groups: dict[int, list[int]] = {}
+    for r in rows:
+        groups.setdefault(int(r[by_col]), []).append(int(r[t_col]))
+    if not groups:
+        return events.withColumn("asof_t", F.lit(None).cast("long"))
+    entries = []
+    for k in sorted(groups):
+        ts_sorted = sorted(set(groups[k]))
+        entries.append(F.lit(k).cast("long"))
+        entries.append(F.array(*[F.lit(t).cast("long") for t in ts_sorted]))
+    axis_map = F.create_map(*entries)
+    arr = F.element_at(axis_map, F.col(by_col).cast("long"))
+    ts = F.col(ts_col).cast("long")
+    pos = F.aggregate(
+        arr, F.lit(0), lambda acc, t: acc + F.when(t <= ts, F.lit(1)).otherwise(F.lit(0))
+    )
+    asof_t = F.when(
+        arr.isNotNull() & (pos > 0), F.element_at(arr, pos)
+    ).otherwise(F.lit(None).cast("long"))
+    return events.withColumn("asof_t", asof_t)
+
+
 def bucketed_range_join(
     events: DataFrame,
     intervals: DataFrame,

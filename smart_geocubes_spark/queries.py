@@ -291,6 +291,33 @@ SELECT page_id, CAST(time_idx AS BIGINT) AS time_idx FROM (
 """
 
 
+def q_merge_asof_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed as-of join: each page matched to the latest patch start
+    time <= its warc_ts within its key group (host_id % 8 -> patch
+    row). Table-valued as-of (pandas merge_asof with by=), zero-shuffle
+    event side via a per-key sorted-axis map literal. Oracle: correlated
+    max() subquery."""
+    from smart_geocubes_spark.operators.temporal import merge_asof_backward
+
+    pts = _points(spark, sf_dir).select(
+        "page_id", "warc_epoch", F.pmod(F.col("host_id"), F.lit(8)).alias("grp")
+    )
+    cat = catalog_df(spark).select("prow", "t_start_epoch").withColumnRenamed("prow", "grp")
+    out = merge_asof_backward(pts, cat, by_col="grp", ts_col="warc_epoch", t_col="t_start_epoch")
+    return out.select(
+        "page_id", F.col("grp").cast("long").alias("grp"), F.col("asof_t").cast("long").alias("asof_t")
+    )
+
+
+SQL_MERGE_ASOF_BY = f"""{ORACLE_PREFIX}
+SELECT t.page_id,
+       CAST(t.host_id % 8 AS BIGINT) AS grp,
+       (SELECT max(p.t_start_epoch) FROM patches p
+        WHERE p.prow = t.host_id % 8 AND p.t_start_epoch <= t.warc_epoch) AS asof_t
+FROM pts t
+"""
+
+
 def q_range_join_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: pages whose warc_ts falls inside a patch's
     validity window, as a bucketed hash equi-join (no theta NLJ)."""
@@ -1920,6 +1947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distance_join": q_distance_join,
     "asof_time_nearest": q_asof_time,
     "range_join_time": q_range_join_time,
+    "merge_asof_by": q_merge_asof_by,
     "zonal_stats": q_zonal_stats,
     "chunk_plan_antijoin": q_chunk_plan,
     "antimeridian_norm": q_antimeridian,
@@ -1980,6 +2008,7 @@ ORACLES: dict[str, str] = {
     "distance_join": SQL_DISTANCE_JOIN,
     "asof_time_nearest": SQL_ASOF_TIME,
     "range_join_time": SQL_RANGE_JOIN_TIME,
+    "merge_asof_by": SQL_MERGE_ASOF_BY,
     "zonal_stats": SQL_ZONAL_STATS,
     "chunk_plan_antijoin": SQL_CHUNK_PLAN,
     "antimeridian_norm": SQL_ANTIMERIDIAN,

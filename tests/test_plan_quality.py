@@ -255,3 +255,14 @@ def test_star_join_broadcasts_dimensions(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_asof_by_is_pure_projection(spark):
+    """Keyed as-of join must keep the event side a one-pass projection
+    (per-key sorted-axis map literal — no join, no window, no hash
+    exchange), like the fixed-axis asof."""
+    from smart_geocubes_spark.queries import q_merge_asof_by
+
+    plan = plan_of(q_merge_asof_by(spark, SF))
+    for bad in ("Join", "Window", "hashpartitioning", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in merge_asof plan"
