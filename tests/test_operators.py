@@ -307,3 +307,28 @@ class TestIvf:
 
         with _pytest.raises(ValueError, match="centroid_mod"):
             ann_ivf_topk(spark, emb, centroid_mod=1, max_centroids=10)
+
+
+class TestMergeAsofBy:
+    def test_no_match_and_empty_table(self, spark):
+        import pandas as pd
+
+        from smart_geocubes_spark.operators.temporal import merge_asof_backward
+
+        ev = spark.createDataFrame(
+            pd.DataFrame({"grp": [0, 0, 1, 2], "ts": [50, 150, 150, 150]})
+        )
+        tab = spark.createDataFrame(
+            pd.DataFrame({"grp": [0, 0, 1], "t": [100, 140, 200]})
+        )
+        got = {
+            (r.grp, r.ts): r.asof_t
+            for r in merge_asof_backward(ev, tab, "grp", "ts", "t").collect()
+        }
+        # ts=50 before any t in grp 0 -> null; ts=150 -> 140; grp 1 ts<200
+        # -> null; grp 2 has no axis -> null
+        assert got == {(0, 50): None, (0, 150): 140, (1, 150): None, (2, 150): None}
+
+        empty = spark.createDataFrame(pd.DataFrame({"grp": [], "t": []}), "grp long, t long")
+        out = merge_asof_backward(ev, empty, "grp", "ts", "t")
+        assert [r.asof_t for r in out.collect()] == [None] * 4
