@@ -54,6 +54,41 @@ def _gen(chunk_px: int):
     return gen
 
 
+def zonal_value_histogram(
+    spark: SparkSession,
+    grid: TileGrid,
+    rois: list[tuple[float, float, float, float]],
+    channels: list[str],
+    n_bins: int = 7,
+) -> DataFrame:
+    """Per-(tile, channel) raster value histogram over ROI blocks:
+    bin = floor(value) mod n_bins, counts per bin. The binning folds the
+    10k-px block array into an n_bins counter array with a single JVM
+    ``aggregate`` (accumulator = array of counts updated via indexed
+    ``transform``) — the block array is NEVER exploded to rows, so the
+    shuffle carries n_bins longs per chunk instead of 10k pixels. The
+    histogram rows come from posexploding the tiny counter array."""
+    tiles = roi_tiles_df(spark, grid, rois)
+    ch = spark.createDataFrame(pd.DataFrame({"channel": channels}))
+    cand = tiles.crossJoin(F.broadcast(ch))
+    blocks = cand.mapInPandas(_gen(grid.chunk_px), schema=ZONAL_BLOCK_SCHEMA)
+    zero = F.array_repeat(F.lit(0).cast("long"), n_bins)
+    hist = F.aggregate(
+        "block",
+        zero,
+        lambda acc, x: F.transform(
+            acc,
+            lambda c, j: c
+            + F.when(F.pmod(F.floor(x).cast("long"), n_bins) == j, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    return blocks.select(
+        "tile_id", "channel", F.posexplode(hist).alias("bin", "n_px")
+    ).select(
+        "tile_id", "channel", F.col("bin").cast("long").alias("bin"), F.col("n_px").cast("long").alias("n_px")
+    )
+
+
 def zonal_stats(
     spark: SparkSession,
     grid: TileGrid,

@@ -396,6 +396,41 @@ FROM zc
 """
 
 
+def q_zonal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile raster value histogram (bin = floor(value) mod 7):
+    block arrays folded into counter arrays with one JVM aggregate —
+    no pixel explode (the shuffle carries 7 longs per chunk, not 10k
+    pixels). Oracle brute-enumerates every pixel of every ROI tile."""
+    from smart_geocubes_spark.operators.zonal import zonal_value_histogram
+
+    return zonal_value_histogram(spark, GRID, ZONAL_ROIS, [c for c, _ in _ZONAL_CHANNELS])
+
+
+SQL_ZONAL_HISTOGRAM = f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {" OR ".join(_zonal_tile_ranges())}
+),
+zc AS (
+  SELECT tile_id, tx, ty, channel, off
+  FROM ztf CROSS JOIN (VALUES {_ZONAL_CH_VALUES}) ch(channel, off)
+),
+px AS (
+  SELECT tile_id, channel,
+         CAST(ty * 1000 + tx + off AS DOUBLE) + i * 0.5 AS val
+  FROM zc, generate_series(0, {_N_PX - 1}) t(i)
+)
+SELECT tile_id, channel,
+       CAST(CAST(floor(val) AS BIGINT) % 7 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # lineage anti-join chunk plan (cache-skip, the reference's core optimization)
 # ---------------------------------------------------------------------------
@@ -1949,6 +1984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_time": q_range_join_time,
     "merge_asof_by": q_merge_asof_by,
     "zonal_stats": q_zonal_stats,
+    "zonal_histogram": q_zonal_histogram,
     "chunk_plan_antijoin": q_chunk_plan,
     "antimeridian_norm": q_antimeridian,
     "dedup_exact": q_dedup_exact,
@@ -2010,6 +2046,7 @@ ORACLES: dict[str, str] = {
     "range_join_time": SQL_RANGE_JOIN_TIME,
     "merge_asof_by": SQL_MERGE_ASOF_BY,
     "zonal_stats": SQL_ZONAL_STATS,
+    "zonal_histogram": SQL_ZONAL_HISTOGRAM,
     "chunk_plan_antijoin": SQL_CHUNK_PLAN,
     "antimeridian_norm": SQL_ANTIMERIDIAN,
     "dedup_exact": SQL_DEDUP_EXACT,
