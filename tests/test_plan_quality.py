@@ -266,3 +266,39 @@ def test_merge_asof_by_is_pure_projection(spark):
     plan = plan_of(q_merge_asof_by(spark, SF))
     for bad in ("Join", "Window", "hashpartitioning", "CartesianProduct"):
         assert bad not in plan, f"{bad} in merge_asof plan"
+
+
+def test_runtime_bloom_filter_prunes_big_side(spark, tmp_path):
+    """Scale evidence for selective joins (the lineage/anti-join story
+    when neither side broadcasts): Spark's runtime row-level Bloom
+    filter must inject a might_contain() predicate on the big side,
+    built from the selective side. Thresholds lowered so fixture-scale
+    data trips the same machinery 100 TB trips with defaults."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.range(2000000).selectExpr("id AS k", "id % 97 AS v").write.parquet(
+            str(tmp_path / "big")
+        )
+        spark.range(500).selectExpr("id * 4000 AS k").write.parquet(str(tmp_path / "small"))
+        big = spark.read.parquet(str(tmp_path / "big"))
+        small = spark.read.parquet(str(tmp_path / "small")).filter("k % 3 = 0")
+        j = big.join(small, "k").groupBy().count()
+        [row] = j.collect()
+        assert row["count"] > 0
+        plan = plan_of(j)
+        assert "might_contain" in plan, "runtime Bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
