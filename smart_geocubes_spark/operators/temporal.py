@@ -81,10 +81,18 @@ def merge_asof_backward(
     stays a one-pass projection: zero joins, zero shuffles, zero
     fan-out — vs the join+window formulation that shuffles the event
     table on (key, ts). Adds ``asof_t`` (nullable: no match)."""
-    rows = table.select(by_col, t_col).filter(F.col(t_col).isNotNull()).collect()
+    rows = (
+        table.select(by_col, t_col)
+        .filter(F.col(t_col).isNotNull() & F.col(by_col).isNotNull())
+        .collect()
+    )  # keyless/timeless table rows are ignored, like pandas merge_asof
     groups: dict[int, list[int]] = {}
     for r in rows:
-        groups.setdefault(int(r[by_col]), []).append(int(r[t_col]))
+        k, t = r[by_col], r[t_col]
+        # NaN from pandas float columns is NOT SQL NULL — guard both
+        if k is None or t is None or k != k or t != t:
+            continue
+        groups.setdefault(int(k), []).append(int(t))
     if not groups:
         return events.withColumn("asof_t", F.lit(None).cast("long"))
     entries = []
@@ -93,15 +101,20 @@ def merge_asof_backward(
         entries.append(F.lit(k).cast("long"))
         entries.append(F.array(*[F.lit(t).cast("long") for t in ts_sorted]))
     axis_map = F.create_map(*entries)
-    arr = F.element_at(axis_map, F.col(by_col).cast("long"))
+    # hoist the key's axis array into its own column: referenced inline
+    # it would duplicate the whole map literal once per consumer
+    # expression (observed 4 copies in the plan)
+    ev = events.withColumn("_axis", F.element_at(axis_map, F.col(by_col).cast("long")))
     ts = F.col(ts_col).cast("long")
     pos = F.aggregate(
-        arr, F.lit(0), lambda acc, t: acc + F.when(t <= ts, F.lit(1)).otherwise(F.lit(0))
+        F.col("_axis"),
+        F.lit(0),
+        lambda acc, t: acc + F.when(t <= ts, F.lit(1)).otherwise(F.lit(0)),
     )
     asof_t = F.when(
-        arr.isNotNull() & (pos > 0), F.element_at(arr, pos)
+        F.col("_axis").isNotNull() & (pos > 0), F.element_at(F.col("_axis"), pos)
     ).otherwise(F.lit(None).cast("long"))
-    return events.withColumn("asof_t", asof_t)
+    return ev.withColumn("asof_t", asof_t).drop("_axis")
 
 
 def bucketed_range_join(

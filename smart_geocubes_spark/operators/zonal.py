@@ -54,6 +54,21 @@ def _gen(chunk_px: int):
     return gen
 
 
+def _roi_blocks(
+    spark: SparkSession,
+    grid: TileGrid,
+    rois: list[tuple[float, float, float, float]],
+    channels: list[str],
+) -> DataFrame:
+    """Shared preamble of the zonal operators: ROI tiles x channels ->
+    block arrays (one Arrow hop; the synthetic stand-in for the
+    object-store tile read)."""
+    tiles = roi_tiles_df(spark, grid, rois)
+    ch = spark.createDataFrame(pd.DataFrame({"channel": channels}))
+    cand = tiles.crossJoin(F.broadcast(ch))
+    return cand.mapInPandas(_gen(grid.chunk_px), schema=ZONAL_BLOCK_SCHEMA)
+
+
 def zonal_value_histogram(
     spark: SparkSession,
     grid: TileGrid,
@@ -67,11 +82,10 @@ def zonal_value_histogram(
     ``aggregate`` (accumulator = array of counts updated via indexed
     ``transform``) — the block array is NEVER exploded to rows, so the
     shuffle carries n_bins longs per chunk instead of 10k pixels. The
-    histogram rows come from posexploding the tiny counter array."""
-    tiles = roi_tiles_df(spark, grid, rois)
-    ch = spark.createDataFrame(pd.DataFrame({"channel": channels}))
-    cand = tiles.crossJoin(F.broadcast(ch))
-    blocks = cand.mapInPandas(_gen(grid.chunk_px), schema=ZONAL_BLOCK_SCHEMA)
+    histogram rows come from posexploding the tiny counter array;
+    zero-count bins are dropped (sparse output, matching what a
+    GROUP-BY-over-pixels formulation produces)."""
+    blocks = _roi_blocks(spark, grid, rois, channels)
     zero = F.array_repeat(F.lit(0).cast("long"), n_bins)
     hist = F.aggregate(
         "block",
@@ -82,10 +96,15 @@ def zonal_value_histogram(
             + F.when(F.pmod(F.floor(x).cast("long"), n_bins) == j, F.lit(1)).otherwise(F.lit(0)),
         ),
     )
-    return blocks.select(
-        "tile_id", "channel", F.posexplode(hist).alias("bin", "n_px")
-    ).select(
-        "tile_id", "channel", F.col("bin").cast("long").alias("bin"), F.col("n_px").cast("long").alias("n_px")
+    return (
+        blocks.select("tile_id", "channel", F.posexplode(hist).alias("bin", "n_px"))
+        .filter(F.col("n_px") > 0)
+        .select(
+            "tile_id",
+            "channel",
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n_px").cast("long").alias("n_px"),
+        )
     )
 
 
@@ -96,10 +115,7 @@ def zonal_stats(
     channels: list[str],
 ) -> DataFrame:
     """(tile_id, channel, mean_val, min_val, max_val) over ROI tiles."""
-    tiles = roi_tiles_df(spark, grid, rois)
-    ch = spark.createDataFrame(pd.DataFrame({"channel": channels}))
-    cand = tiles.crossJoin(F.broadcast(ch))
-    blocks = cand.mapInPandas(_gen(grid.chunk_px), schema=ZONAL_BLOCK_SCHEMA)
+    blocks = _roi_blocks(spark, grid, rois, channels)
     n_px = float(grid.chunk_px * grid.chunk_px)
     return blocks.select(
         "tile_id",

@@ -332,3 +332,18 @@ class TestMergeAsofBy:
         empty = spark.createDataFrame(pd.DataFrame({"grp": [], "t": []}), "grp long, t long")
         out = merge_asof_backward(ev, empty, "grp", "ts", "t")
         assert [r.asof_t for r in out.collect()] == [None] * 4
+
+    def test_null_and_nan_keys_ignored(self, spark):
+        """A table row with a NULL or NaN key must be dropped (pandas
+        merge_asof semantics), not crash plan building."""
+        import pandas as pd
+
+        from smart_geocubes_spark.operators.temporal import merge_asof_backward
+
+        ev = spark.createDataFrame(pd.DataFrame({"grp": [0, 1], "ts": [150, 150]}))
+        tab = spark.createDataFrame(
+            pd.DataFrame({"grp": [0.0, None], "t": [100.0, 200.0]})
+        )
+        got = sorted((r.grp, r.asof_t) for r in
+                     merge_asof_backward(ev, tab, "grp", "ts", "t").collect())
+        assert got == [(0, 100), (1, None)]
