@@ -138,10 +138,12 @@ class GeocubeAccessor:
 
         toi_epochs = None
         if spec.time_epochs is not None and "time_idx" in ref.columns:
+            # clamp BOTH ends: a ref frame from a different/longer-axis
+            # cube may carry time_idx values past this cube's epoch axis
             idxs = sorted(
                 int(r[0])
                 for r in ref.select("time_idx").distinct().collect()
-                if r[0] is not None and int(r[0]) >= 0
+                if r[0] is not None and 0 <= int(r[0]) < len(spec.time_epochs)
             )
             if idxs:
                 toi_epochs = [spec.time_epochs[i] for i in idxs]

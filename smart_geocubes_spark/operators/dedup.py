@@ -29,8 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-N_MINHASH = 8
-N_BANDS = 4  # 2 rows per band
+# production default 16 hashes / 8 bands (2 rows per band): the recall
+# test (tests/test_operators.py::TestMinhashRecall) measures 8/4 missing
+# ~10% of true J>=0.5 pairs on the fixture while 16/8 captures >=95%.
+N_MINHASH = 16
+N_BANDS = 8  # 2 rows per band
 SHINGLE = 12  # char 12-grams
 RARE_DF = 5  # rare-shingle candidate threshold for ngram-jaccard
 
@@ -204,6 +207,9 @@ def simhash_neardup(
     the banding's completeness, not just self-consistency."""
     assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs max_hamming < n_bands"
     width = n_bits // n_bands
+    # bands must tile the signature exactly, or the top n_bits % n_bands
+    # bits fall outside every band key (mirrors lsh_candidate_pairs)
+    assert width * n_bands == n_bits, "n_bands must divide n_bits"
     sig = simhash_signatures(spark, n_bits)
     bands = sig.select(
         "doc_id",

@@ -49,6 +49,7 @@ def distance_join(
     queries: DataFrame,
     radius: float,
     cell_deg: float = 1.0,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Distance-band (threshold) spatial join: all (query, point) pairs
     with Euclidean degree-distance <= ``radius``. The fixed-radius
@@ -56,7 +57,13 @@ def distance_join(
     around their own cell (JVM explode — COVERAGE GUARANTEE: any point
     within radius <= cell_deg lies in that disk, asserted) and
     broadcast; points compute one cell, hash equi-join, exact d2
-    filter. Big side: one pass, no shuffle beyond the broadcast join."""
+    filter. Big side: one pass, no shuffle beyond the broadcast join.
+
+    ``exclude_self=True`` (default) drops pairs with point_id == qid —
+    a SHARED-ID-SPACE contract for self-joins (queries drawn from the
+    point set). Pass ``exclude_self=False`` when queries and points
+    have unrelated id spaces, where a coincidental id match is a
+    legitimate pair."""
     assert radius <= cell_deg, "3x3 disk only covers radius <= cell_deg"
     pcx, pcy = _cell_cols(F.col("lon"), F.col("lat"), cell_deg)
     pts = points.select("point_id", "lon", "lat", pcx.alias("cx"), pcy.alias("cy"))
@@ -82,12 +89,10 @@ def distance_join(
     d2 = (F.col("lon") - F.col("qx")) * (F.col("lon") - F.col("qx")) + (
         F.col("lat") - F.col("qy")
     ) * (F.col("lat") - F.col("qy"))
-    return (
-        pts.join(F.broadcast(disk), ["cx", "cy"], "inner")
-        .filter(F.col("point_id") != F.col("qid"))
-        .filter(d2 <= F.lit(radius * radius))
-        .select("qid", "point_id")
-    )
+    joined = pts.join(F.broadcast(disk), ["cx", "cy"], "inner")
+    if exclude_self:
+        joined = joined.filter(F.col("point_id") != F.col("qid"))
+    return joined.filter(d2 <= F.lit(radius * radius)).select("qid", "point_id")
 
 
 def knn_join(

@@ -92,17 +92,26 @@ def embedding_neardup_pairs(
     tagged = left.unionByName(right)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+        )
         a = pdf[pdf["side"] == 0].sort_values("vec_id")
         if a.empty:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+            return empty
         A = np.stack(a["v"].to_numpy()).astype(np.float64)
         A /= np.linalg.norm(A, axis=1, keepdims=True)
         ida = a["vec_id"].to_numpy()
         b = pdf[pdf["side"] == 1]
-        if b.empty:  # diagonal block: upper triangle of one matrix
-            c = A @ A.T
+        # the diagonal group carries only side-0 rows by construction —
+        # but identify it by (bi == bj), NOT by b.empty: an off-diagonal
+        # pair whose bj residue class holds no vectors also has an empty
+        # side 1 and must emit nothing (not re-emit bi's intra pairs).
+        if int(pdf["bi"].iat[0]) == int(pdf["bj"].iat[0]):
+            c = A @ A.T  # diagonal block: upper triangle of one matrix
             ii, jj = np.nonzero(np.triu(c >= tau, k=1))
             return pd.DataFrame({"id_a": ida[ii], "id_b": ida[jj]})
+        if b.empty:
+            return empty
         Bm = np.stack(b["v"].to_numpy()).astype(np.float64)
         Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
         idb = b["vec_id"].to_numpy()
@@ -272,12 +281,20 @@ def lsh_bucket_sql(vcol: str, dim: int) -> str:
 def ann_lsh_topk(spark: SparkSession, emb: DataFrame, k: int = 5) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets; each query probes
     its own bucket + all hamming-1 buckets; exact cosine re-rank inside
-    the candidate set (multiprobe LSH)."""
+    the candidate set (multiprobe LSH).
+
+    The bucket UDF runs EXACTLY ONCE over the table: pinned
+    ``.asNondeterministic()`` (CLAUDE.md rule 4 — Catalyst otherwise
+    re-evaluates deterministic UDFs across exchanges) and the bucketed
+    base is ``localCheckpoint``-ed so the self-join's two subtrees
+    (big side + query side) read the one materialization instead of
+    each re-running the kernel (plan previously showed
+    ArrowEvalPython x3 — linear work x3 on the big side)."""
     dim = len(emb.select("embedding").head()[0])
-    bucket = make_bucket_udf(dim)
+    bucket = make_bucket_udf(dim).asNondeterministic()
     base = emb.select(
         "vec_id", _as_double("embedding").alias("v"), bucket(F.col("embedding")).alias("bucket")
-    )
+    ).localCheckpoint(eager=True)
     q = base.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )

@@ -103,6 +103,18 @@ def test_load_like_derives_toi(spark, tmp_path):
     assert sorted(r[0] for r in got.select("time_idx").distinct().collect()) == [0, 2]
 
 
+def test_load_like_foreign_time_idx_clamped(spark, tmp_path):
+    """A ref frame carrying time_idx values past this cube's epoch axis
+    (frame from a different/longer-axis cube) must not IndexError —
+    out-of-range idxs are dropped at BOTH ends."""
+    acc = tctrend_like(spark, str(tmp_path / "tc"))
+    acc.create()
+    ref = acc.load(ROI_4326, toi_epochs=[1609459200])
+    foreign = ref.withColumn("time_idx", F.col("time_idx") + 99)
+    got = acc.load_like(ref.unionByName(foreign))
+    assert sorted(r[0] for r in got.select("time_idx").distinct().collect()) == [1]
+
+
 def test_post_init_post_create_hooks(spark, tmp_path):
     """Subclass extension seam (reference core/accessor.py:125-127,
     298-300): post_init fires at construction, post_create after a

@@ -192,13 +192,104 @@ class TestEmbeddingNeardup:
         )
         assert got == want
 
+    def test_empty_residue_class_emits_no_phantom_pairs(self, spark):
+        """An off-diagonal grid pair (bi, bj) whose bj residue class is
+        EMPTY (sparse/filtered vec_ids) carries only side-0 rows; the
+        kernel must emit nothing for it — not re-emit block bi's intra
+        pairs (the diagonal is identified by bi == bj, never by side-1
+        emptiness)."""
+        from pyspark.sql import functions as F
+
+        from smart_geocubes_spark.operators.similarity import (
+            embedding_neardup_pairs,
+            embedding_neardup_pairs_allpairs,
+        )
+        from smart_geocubes_spark.queries import ensure_base_views
+
+        ensure_base_views(spark, "/root/testdata/sf0.01")
+        emb = spark.table("embeddings").filter(F.col("vec_id") % 7 != 3)
+        got = sorted(
+            map(tuple, embedding_neardup_pairs(spark, emb, tau=0.45, n_blocks=7).collect())
+        )
+        want = sorted(
+            map(tuple, embedding_neardup_pairs_allpairs(spark, emb, tau=0.45).collect())
+        )
+        assert got == want and len(got) > 0
+
+
+class TestDedupClustersAdversarial:
+    """Pin the convergence contract of iterative min-label propagation:
+    O(diameter) rounds, and a RAISE (never silently-wrong labels) when a
+    component's diameter exceeds max_iter."""
+
+    def test_long_chain_past_max_iter_raises_then_converges(self, spark):
+        import pytest
+
+        from smart_geocubes_spark.operators.dedup import dedup_clusters
+
+        n = 12  # path graph 0-1-...-12, diameter 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_clusters(spark, pairs, max_iter=3)
+        out = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup_clusters(spark, pairs, max_iter=n + 1).collect()
+        }
+        assert out == {(i, 0) for i in range(n + 1)}
+
+    def test_wide_star_converges_in_constant_rounds(self, spark):
+        from smart_geocubes_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame(
+            [(0, i) for i in range(1, 60)], "id_a long, id_b long"
+        )
+        # diameter 2: must converge well under the width of the star
+        out = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup_clusters(spark, pairs, max_iter=3).collect()
+        }
+        assert out == {(i, 0) for i in range(60)}
+
+
+class TestSimhashParams:
+    def test_bands_must_divide_bits(self, spark):
+        import pytest
+
+        from smart_geocubes_spark.operators.dedup import simhash_neardup
+
+        with pytest.raises(AssertionError, match="divide"):
+            simhash_neardup(spark, max_hamming=2, n_bands=5, n_bits=16)
+
+
+class TestDistanceJoinSelfExclusion:
+    def test_exclude_self_flag(self, spark):
+        """Default drops point_id == qid (shared-id-space self-join);
+        exclude_self=False keeps a coincidental id match from unrelated
+        id spaces."""
+        from smart_geocubes_spark.operators.knn import distance_join
+
+        points = spark.createDataFrame(
+            [(1, 0.0, 0.0)], "point_id long, lon double, lat double"
+        )
+        queries = spark.createDataFrame(
+            [(1, 0.1, 0.0)], "qid long, qx double, qy double"
+        )
+        assert distance_join(spark, points, queries, radius=0.5).count() == 0
+        got = distance_join(
+            spark, points, queries, radius=0.5, exclude_self=False
+        ).collect()
+        assert [(r.qid, r.point_id) for r in got] == [(1, 1)]
+
 
 class TestMinhashRecall:
     def test_more_bands_more_recall(self, spark):
         """LSH recall is a deployment knob: ground truth = exact Jaccard
-        >= 0.5 over ALL shingle-sharing pairs; the default 8 hashes / 4
-        bands may miss true pairs ((1-J^2)^4 ~ 10% at J=0.66), while
-        16/8 must dominate it and capture (essentially) all of them."""
+        >= 0.5 over ALL shingle-sharing pairs; 8 hashes / 4 bands misses
+        true pairs ((1-J^2)^4 ~ 10% at J=0.66), which is why the
+        PRODUCTION DEFAULT is 16/8 — it must dominate 8/4 and capture
+        (essentially) all of them."""
         from pyspark.sql import functions as F
 
         from smart_geocubes_spark.operators.dedup import (
@@ -226,8 +317,8 @@ class TestMinhashRecall:
             .filter(F.col("n_inter") * 2 >= F.col("n_union"))
             .collect()
         }
-        got_8_4 = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(spark).collect()}
-        got_16_8 = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(spark, 16, 8).collect()}
+        got_8_4 = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(spark, 8, 4).collect()}
+        got_16_8 = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(spark).collect()}  # default 16/8
         assert truth, "fixture must contain true near-dups"
         assert got_8_4 <= truth and got_16_8 <= truth  # exact verify => no FPs
         assert len(got_16_8) >= len(got_8_4)

@@ -186,6 +186,21 @@ def test_ann_ivf_big_side_is_projection(spark):
     assert "array_max" in plan  # the literal argmax projection
 
 
+def test_ann_lsh_bucket_single_eval(spark):
+    """The hyperplane bucket kernel must run ONCE over the table: the
+    bucketed base is localCheckpoint-ed with the UDF pinned
+    nondeterministic, so the self-join's two subtrees scan the one
+    materialization. Executed plan: ZERO ArrowEvalPython nodes (the one
+    evaluation happened at checkpoint time; previously x3 — base,
+    query filter, and probes each re-ran the kernel over the table)."""
+    from smart_geocubes_spark.queries import ensure_base_views, q_ann_lsh
+
+    ensure_base_views(spark, SF)
+    plan = plan_of(q_ann_lsh(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("ExistingRDD") == 2  # both join sides read the checkpoint
+
+
 def test_corpus_funnel_is_join_free(spark):
     """The funnel composes lang/quality/token ops as PROJECTIONS
     (keep=True): no join anywhere — only the dedup groupBy and the
