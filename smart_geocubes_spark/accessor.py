@@ -189,15 +189,30 @@ class GeocubeAccessor:
         """Text Gantt of fill runs (reference ``visualize_state``
         renders the event log with matplotlib, ``core/backend.py:95-185``;
         plotting libs are out of scope here so the duration rollup is
-        rendered as ASCII bars — the *data* half is identical)."""
+        rendered as ASCII bars — the *data* half is identical). Per-run
+        bars from the run metrics, indented per-PARTITION bars (the
+        reference's per-thread lanes) from the committed event log."""
+        from smart_geocubes_spark.plans.materialize import event_durations
+
         m = self.metrics()
         if m.empty:
             return "(no fill runs)"
+        lanes: dict[str, list] = {}
+        for r in event_durations(self.spark, self.path).collect():
+            lanes.setdefault(r["batch_id"], []).append(r)
         top = max(float(m["sec"].max()), 1e-9)
         lines = []
         for _, r in m.iterrows():
             bar = "#" * max(1, int(round(width * float(r["sec"]) / top)))
             lines.append(f"{r['batch_id']}  {bar} {float(r['sec']):.2f}s ({int(r['written'])} chunks)")
+            rows = sorted(lanes.get(str(r["batch_id"]), []), key=lambda e: e["partition_id"])
+            lane_top = max([e["duration_us"] for e in rows], default=0) or 1
+            for e in rows:
+                lbar = "=" * max(1, int(round(width * e["duration_us"] / lane_top)))
+                lines.append(
+                    f"  p{e['partition_id']:03d} {lbar} "
+                    f"{e['duration_us'] / 1e6:.3f}s ({e['n_chunks']} chunks, {e['n_bytes']} B)"
+                )
         return "\n".join(lines)
 
 

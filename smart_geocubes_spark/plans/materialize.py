@@ -28,8 +28,13 @@ Scale notes (100 TB cube, 1000 executors):
   (one row per chunk, no payload) and is auto-broadcast;
 - block generation is an Arrow ``mapInPandas`` producing whole chunk
   arrays — one task per candidate partition, no Python row loop;
-- metrics rows are emitted per task partition (north rule: per-partition
-  lineage + metrics).
+- the kernel emits a per-chunk EVENT row alongside each block
+  (chunk_key, partition_id, t_start_us, t_end_us, n_bytes — the
+  reference's per-patch event log, ``core/backend.py:23-28,59-93``,
+  with Spark partition ids standing in for thread ids); events are
+  committed per batch and lineage-gated like blocks, and
+  :func:`event_durations` is the start/end -> duration merge the
+  reference's ``visualize_state`` renders.
 """
 
 from __future__ import annotations
@@ -57,6 +62,22 @@ BLOCK_SCHEMA = (
 LINEAGE_SCHEMA = (
     "chunk_key string, tile_id long, time_idx int, channel string, "
     "batch_id string, partition_id int, n_rows long, n_bytes long"
+)
+# per-chunk event rows emitted from inside the block-generation kernel;
+# t_start/t_end bound the Arrow batch that produced the chunk (batch
+# granularity — the vectorized analog of the reference's per-patch
+# start/end actions, core/backend.py:23-28)
+EVENT_SCHEMA = (
+    "chunk_key string, tile_id long, time_idx int, channel string, "
+    "partition_id int, t_start_us long, t_end_us long, n_bytes long, "
+    "batch_id string"
+)
+# what the kernel yields = block columns + event columns (events are
+# split out of the written files by a column-pruned read-back, so the
+# kernel runs ONCE)
+BLOCK_WRITE_SCHEMA = (
+    BLOCK_SCHEMA
+    + ", chunk_key string, partition_id int, t_start_us long, t_end_us long, n_bytes long"
 )
 
 
@@ -141,6 +162,47 @@ def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(LINEAGE_SCHEMA).parquet(*batches)
 
 
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Committed per-patch event log (reference ``core/backend.py:23-28``
+    records ``(action, patch_id, time, thread_id, thread_name)`` rows;
+    here one row per chunk written, with the Arrow-batch [t_start_us,
+    t_end_us] window of its generation and the task partition — the
+    thread analog — that produced it). Visibility is LINEAGE-gated: a
+    crashed batch's events are invisible, exactly like its blocks."""
+    committed = {os.path.basename(b) for b in _lineage_batches(path)}
+    edir = os.path.join(path, "events")
+    dirs = (
+        [
+            os.path.join(edir, b)
+            for b in sorted(os.listdir(edir))
+            if b in committed and os.path.exists(os.path.join(edir, b, "_SUCCESS"))
+        ]
+        if os.path.isdir(edir)
+        else []
+    )
+    if not dirs:
+        return spark.createDataFrame([], EVENT_SCHEMA)
+    return spark.read.schema(EVENT_SCHEMA).parquet(*dirs)
+
+
+def event_durations(spark: SparkSession, path: str) -> DataFrame:
+    """Start/end -> duration merge over the event log (the data half of
+    the reference's ``visualize_state`` Gantt, ``core/backend.py:59-93``):
+    one row per (batch, partition) with its chunk/byte totals and the
+    wall window it was busy."""
+    ev = read_events(spark, path)
+    return (
+        ev.groupBy("batch_id", "partition_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.min("t_start_us").alias("t_start_us"),
+            F.max("t_end_us").alias("t_end_us"),
+        )
+        .withColumn("duration_us", F.col("t_end_us") - F.col("t_start_us"))
+    )
+
+
 def candidate_chunks(
     spark: SparkSession,
     spec: CubeSpec,
@@ -190,8 +252,13 @@ def _gen_blocks_factory(chunk_px: int):
     n_px = chunk_px * chunk_px
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = int(ctx.partitionId()) if ctx is not None else -1
         ramp = np.arange(n_px, dtype=np.float64) * 0.5
         for b in batches:
+            t0 = time.time_ns() // 1000
             off = b["channel"].map(CHANNEL_OFFSETS).fillna(0.0).to_numpy(dtype=np.float64)
             base = chunk_value_base(
                 b["tile_y"].to_numpy(dtype=np.float64),
@@ -204,6 +271,12 @@ def _gen_blocks_factory(chunk_px: int):
             out = b[["tile_y", "tile_x", "tile_id", "time_idx", "channel", "batch_id"]].copy()
             out["pt"] = (b["tile_id"] % N_PARTS).astype("int32")
             out["block"] = list(blocks)
+            # event columns: the download/write record of this chunk
+            out["chunk_key"] = b["chunk_key"].to_numpy()
+            out["partition_id"] = np.int32(pid)
+            out["t_start_us"] = np.int64(t0)
+            out["t_end_us"] = np.int64(time.time_ns() // 1000)
+            out["n_bytes"] = np.int64(8 * n_px)
             yield out
 
     return gen
@@ -246,10 +319,21 @@ def materialize(
             }
 
         blocks = missing.mapInPandas(
-            _gen_blocks_factory(spec.grid.chunk_px), schema=BLOCK_SCHEMA
+            _gen_blocks_factory(spec.grid.chunk_px), schema=BLOCK_WRITE_SCHEMA
         )
         block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
         blocks.write.mode("overwrite").parquet(block_dir)
+
+        # split the per-chunk event rows out of the written files — a
+        # COLUMN-PRUNED read-back (never touches the `block` arrays), so
+        # the generation kernel ran exactly once. Events land before the
+        # lineage commit (they record what happened, crash or not);
+        # read_events gates visibility on the commit like blocks do.
+        ev_cols = [f.split()[0] for f in EVENT_SCHEMA.split(", ")]
+        events = spark.read.parquet(block_dir).select(*ev_cols)
+        events.write.mode("overwrite").parquet(
+            os.path.join(path, "events", f"batch={batch_id}")
+        )
 
         if fail_after_blocks:
             raise RuntimeError("simulated crash before lineage commit")

@@ -469,6 +469,54 @@ WHERE NOT (tile_id % 2 = 0 AND channel = 'dem')
 """
 
 
+def q_event_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-patch EVENT LOG (reference core/backend.py:23-28,59-93): fill
+    a fresh cube over ZONAL_ROIS[0], then project the committed event
+    rows' deterministic half — exactly ONE event per planned chunk with
+    exact byte accounting (chunk set = tile coverage x channels, same
+    closed form as chunk_plan_antijoin). The wall-clock half (start/end
+    -> duration merge, per-partition lanes) is nondeterministic by
+    nature and is pinned by tests/test_materialize.py instead."""
+    import tempfile
+
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        materialize,
+        read_events,
+    )
+
+    path = tempfile.mkdtemp(prefix="evcube_")
+    create_cube(path, CubeSpec(grid=GRID, channels=("dem", "slope"), time_epochs=None))
+    materialize(spark, path, ZONAL_ROIS[0])
+    ev = read_events(spark, path)
+    return ev.groupBy("chunk_key", "tile_id", "channel").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def _event_durations_sql() -> str:
+    return f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {_zonal_tile_ranges()[0]}
+)
+SELECT '-1-' || CAST(ty AS VARCHAR) || '-' || CAST(tx AS VARCHAR) || '-' || channel AS chunk_key,
+       tile_id, channel,
+       CAST(1 AS BIGINT) AS n_events,
+       CAST({8 * _N_PX} AS BIGINT) AS n_bytes
+FROM ztf CROSS JOIN (VALUES ('dem'), ('slope')) ch(channel)
+"""
+
+
+SQL_EVENT_DURATIONS = _event_durations_sql()
+
+
 # ---------------------------------------------------------------------------
 # antimeridian normalization (reference accessors/gee.py:211-215)
 # ---------------------------------------------------------------------------
@@ -1986,6 +2034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats": q_zonal_stats,
     "zonal_histogram": q_zonal_histogram,
     "chunk_plan_antijoin": q_chunk_plan,
+    "event_durations": q_event_durations,
     "antimeridian_norm": q_antimeridian,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -2048,6 +2097,7 @@ ORACLES: dict[str, str] = {
     "zonal_stats": SQL_ZONAL_STATS,
     "zonal_histogram": SQL_ZONAL_HISTOGRAM,
     "chunk_plan_antijoin": SQL_CHUNK_PLAN,
+    "event_durations": SQL_EVENT_DURATIONS,
     "antimeridian_norm": SQL_ANTIMERIDIAN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,

@@ -106,6 +106,59 @@ def test_kill_and_restart_resume(spark, cube):
     assert df.select("chunk_key").distinct().count() == 18
 
 
+def test_event_log_rows_and_duration_rollup(spark, cube):
+    """Per-patch event log (reference core/backend.py:23-28,59-93): one
+    committed event row per chunk written, carrying the partition that
+    produced it and a sane [t_start, t_end] generation window; the
+    start/end -> duration merge rolls them up per (batch, partition)."""
+    from smart_geocubes_spark.plans.materialize import event_durations, read_events
+
+    m = materialize(spark, cube, ROI_A)
+    ev = read_events(spark, cube).collect()
+    assert len(ev) == m["written"] == 18
+    lineage_keys = {r.chunk_key for r in read_lineage(spark, cube).collect()}
+    assert {e.chunk_key for e in ev} == lineage_keys
+    for e in ev:
+        assert e.batch_id == m["batch_id"]
+        assert e.partition_id >= 0
+        assert e.t_end_us >= e.t_start_us > 0
+        assert e.n_bytes == 8 * 100 * 100
+    dur = event_durations(spark, cube).collect()
+    assert sum(r.n_chunks for r in dur) == 18
+    assert sum(r.n_bytes for r in dur) == 18 * 8 * 100 * 100
+    for r in dur:
+        assert r.duration_us == r.t_end_us - r.t_start_us >= 0
+    # a second idempotent run adds no events
+    materialize(spark, cube, ROI_A)
+    assert read_events(spark, cube).count() == 18
+
+
+def test_event_log_crash_invisible(spark, cube):
+    """Events of a batch whose lineage commit never landed must be
+    invisible (same gate as blocks), and a resume run emits exactly the
+    redone chunks' events."""
+    from smart_geocubes_spark.plans.materialize import read_events
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        materialize(spark, cube, ROI_A, fail_after_blocks=True)
+    assert read_events(spark, cube).count() == 0
+    m = materialize(spark, cube, ROI_A)
+    ev = read_events(spark, cube)
+    assert ev.count() == 18
+    assert ev.filter(F.col("batch_id") == m["batch_id"]).count() == 18
+
+
+def test_visualize_state_renders_partition_lanes(spark, cube):
+    from smart_geocubes_spark.accessor import GeocubeAccessor
+    from smart_geocubes_spark.plans.materialize import open_spec
+
+    materialize(spark, cube, ROI_A)
+    acc = GeocubeAccessor(spark=spark, path=cube, spec=open_spec(cube))
+    s = acc.visualize_state()
+    assert "chunks" in s and "#" in s
+    assert "  p" in s and "=" in s  # per-partition lanes from the event log
+
+
 def test_plan_missing_antijoin(spark, cube):
     spec = open_spec(cube)
     materialize(spark, cube, ROI_A)
