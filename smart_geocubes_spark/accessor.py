@@ -89,7 +89,7 @@ class GeocubeAccessor:
 
     def load(
         self,
-        roi: BBox,
+        roi: BBox | list[BBox],
         toi_epochs: list[int] | None = None,
         persist: bool = False,
         create: bool = False,
@@ -97,7 +97,13 @@ class GeocubeAccessor:
         """The flagship four-step query (docs/how_it_works.md:48-53):
         intersect -> download new -> store -> return ROI slice.
         ``persist=True`` materializes driver-side (xarray-load analog);
-        otherwise the lazy DataFrame is the dask-lazy view."""
+        otherwise the lazy DataFrame is the dask-lazy view.
+
+        ``roi`` may be a LIST of bboxes (reference GeoDataFrame branch,
+        core/accessor.py:400-426): ONE fill job covering the deduped
+        union, then ONE pruned scan whose result carries a ``roi_idx``
+        column naming the requesting ROI per row (a block covered by k
+        ROIs appears k times)."""
         if create:
             try:
                 self.create(overwrite=False)

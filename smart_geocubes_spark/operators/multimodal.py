@@ -2,13 +2,21 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow ``mapInPandas`` kernels.
 
-The container has no image/audio libraries, so REAL codec decode
-(jpeg/png/wav/mp4) is stubbed behind ``NotImplementedError`` with a
+The container has no image/audio libraries, so COMPRESSED codec decode
+(jpeg/png/mp4) is stubbed behind ``NotImplementedError`` with a
 clearly-marked seam (``_REAL_DECODERS``); the deterministic RAW format
 below makes every byte of the Spark-side plumbing — binary payload
 construction, schema, batch iteration, explode of frames — real and
 oracle-checkable (the payload generator is closed-form, so DuckDB can
 recompute the pixel sums without ever seeing the bytes).
+
+The seam itself IS exercised for real: pure-numpy parsers for the two
+standard UNCOMPRESSED containers — 8-bit grayscale BMP
+(BITMAPINFOHEADER, palette, 4-byte-padded bottom-up rows) and PCM16
+mono WAV (RIFF chunk walk) — are registered in ``_REAL_DECODERS``, and
+the ``image_decode_bmp`` / ``audio_features_wav`` query variants route
+standards-conformant files through them against the same closed-form
+oracles.
 
 RAW formats (all big-endian headers):
 - image:  b"RIMG" + u16 width + u16 height + width*height pixel bytes,
@@ -28,7 +36,85 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-_REAL_DECODERS: dict[str, object] = {}  # format -> callable; none in this container
+# ---------------------------------------------------------------------------
+# real-codec seam: pure-numpy parsers for standard uncompressed containers
+# ---------------------------------------------------------------------------
+
+def encode_bmp_gray8(w: int, h: int, flat_topdown: np.ndarray) -> bytes:
+    """A standards-conformant 8-bit grayscale BMP: 14-byte file header,
+    40-byte BITMAPINFOHEADER, 256-entry gray palette, pixel rows padded
+    to 4 bytes and stored BOTTOM-UP (any image viewer opens the result)."""
+    pad = (-w) % 4
+    palette = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    offset = 14 + 40 + len(palette)
+    img_size = (w + pad) * h
+    header = b"BM" + struct.pack("<IHHI", offset + img_size, 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, img_size, 2835, 2835, 256, 0)
+    rows = np.asarray(flat_topdown, dtype=np.uint8).reshape(h, w)
+    body = b"".join(rows[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1))
+    return header + dib + palette + body
+
+
+def decode_bmp_gray8(payload: bytes):
+    """Parse real BMP header bytes -> (width, height, top-down flat
+    uint8 pixels): honors the pixel-data offset, row padding, and both
+    bottom-up (h > 0) and top-down (h < 0) row orders."""
+    assert payload[:2] == b"BM", "not a BMP payload"
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    dib_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    assert dib_size >= 40 and planes == 1 and bpp == 8 and comp == 0, (
+        "only uncompressed 8-bit BMP is supported"
+    )
+    topdown = h < 0
+    h = abs(h)
+    stride = (w + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, offset=offset, count=stride * h
+    ).reshape(h, stride)[:, :w]
+    if not topdown:
+        rows = rows[::-1]
+    return w, h, np.ascontiguousarray(rows).reshape(-1)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """A standards-conformant PCM16 mono RIFF/WAVE file."""
+    data = np.asarray(samples).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Walk RIFF chunks (word-aligned), find fmt + data ->
+    (n_samples, int64 samples). PCM16 mono only."""
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE", "not a WAV payload"
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    assert fmt is not None and data is not None, "missing fmt/data chunk"
+    audio_format, channels, _rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    assert audio_format == 1 and channels == 1 and bits == 16, "only PCM16 mono"
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return len(s), s
+
+
+# format -> callable. Compressed codecs (jpeg/png/mp4) would need
+# libraries this container doesn't have and stay behind the
+# NotImplementedError below; the uncompressed standards are real.
+_REAL_DECODERS: dict[str, object] = {
+    "bmp": decode_bmp_gray8,
+    "wav": decode_wav_pcm16,
+}
 
 
 def _require_real_decoder(fmt: str):
@@ -105,10 +191,37 @@ def make_video_payload(media_id: int) -> bytes:
     return b"RVID" + struct.pack(">HHH", f, w, h) + px.tobytes()
 
 
-def media_table(spark: SparkSession, n: int, kind: str) -> DataFrame:
+def make_bmp_payload(media_id: int) -> bytes:
+    """Same pixel content as the RAW image, as a real BMP file."""
+    w, h = image_dims(media_id)
+    p = np.arange(w * h, dtype=np.int64)
+    px = ((media_id * 7 + p * 13) % 256).astype(np.uint8)
+    return encode_bmp_gray8(w, h, px)
+
+
+def make_wav_payload(media_id: int) -> bytes:
+    """Same samples as the RAW audio, as a real PCM16 WAV file."""
+    n = audio_len(media_id)
+    i = np.arange(n, dtype=np.int64)
+    s = (((media_id * 31 + i * 17) % 4096) - 2048).astype("<i2")
+    return encode_wav_pcm16(s)
+
+
+_MAKERS = {
+    ("image", "raw"): make_image_payload,
+    ("audio", "raw"): make_audio_payload,
+    ("video", "raw"): make_video_payload,
+    ("image", "bmp"): make_bmp_payload,
+    ("audio", "wav"): make_wav_payload,
+}
+
+
+def media_table(spark: SparkSession, n: int, kind: str, fmt: str = "raw") -> DataFrame:
     """media(media_id long, kind string, fmt string, payload binary) —
-    payloads built inside an Arrow kernel (binary column plumbing)."""
-    maker = {"image": make_image_payload, "audio": make_audio_payload, "video": make_video_payload}[kind]
+    payloads built inside an Arrow kernel (binary column plumbing).
+    ``fmt="bmp"``/``"wav"`` emit real container files with the same
+    content as the RAW variants (routes the decoder seam)."""
+    maker = _MAKERS[(kind, fmt)]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -117,7 +230,7 @@ def media_table(spark: SparkSession, n: int, kind: str) -> DataFrame:
                 {
                     "media_id": ids,
                     "kind": kind,
-                    "fmt": "raw",
+                    "fmt": fmt,
                     "payload": [maker(int(m)) for m in ids],
                 }
             )

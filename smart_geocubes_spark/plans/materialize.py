@@ -372,30 +372,60 @@ def materialize(
 def load(
     spark: SparkSession,
     path: str,
-    roi_bbox: tuple[float, float, float, float],
+    roi_bbox: tuple[float, float, float, float] | list[tuple[float, float, float, float]],
     toi_epochs: list[int] | None = None,
 ) -> DataFrame:
     """ROI read: materialize() first for the reference's full load()
     semantics; this is the scan+crop step (snapshot = committed lineage
     only). Partition pruning: blocks are filtered on tile_id membership
-    (small set -> pushed to parquet row groups)."""
+    (small set -> pushed to parquet row groups).
+
+    ``roi_bbox`` may be a LIST of bboxes (the reference's GeoDataFrame
+    batch branch, ``core/accessor.py:400-426``): ONE pruned scan over
+    the union tile set, with a ``roi_idx`` column mapping each block
+    back to the requesting ROI(s) via a broadcast (tile_id, roi_idx)
+    lookup — a tile covered by k ROIs returns k rows, one per ROI, so
+    per-ROI consumers just filter. The lookup is bounded by the query
+    size (sum of ROI tile counts), never by the cube."""
     spec = open_spec(path)
-    tiles = spec.grid.tiles_overlapping_bbox(*roi_bbox)
     nx = spec.grid.n_tiles_x
-    tile_ids = [int(ty * nx + tx) for tx, ty in tiles]
+    rois = roi_bbox if isinstance(roi_bbox, list) else None
+    if rois is None:
+        tiles = spec.grid.tiles_overlapping_bbox(*roi_bbox)
+        tile_ids = [int(ty * nx + tx) for tx, ty in tiles]
+        roi_pairs = None
+    else:
+        roi_pairs = [
+            (int(ty * nx + tx), i)
+            for i, r in enumerate(rois)
+            for tx, ty in spec.grid.tiles_overlapping_bbox(*r)
+        ]
+        tile_ids = sorted({t for t, _ in roi_pairs})
     bdir = os.path.join(path, "blocks")
     batches = [
         os.path.join(bdir, b)
         for b in sorted(os.listdir(bdir))
         if os.path.exists(os.path.join(bdir, b, "_SUCCESS"))
     ]
+    def _with_roi_idx(out: DataFrame) -> DataFrame:
+        if roi_pairs is None:
+            return out
+        mapdf = spark.createDataFrame(
+            pd.DataFrame(roi_pairs, columns=["tile_id", "roi_idx"]).astype(
+                {"tile_id": "int64", "roi_idx": "int32"}
+            )
+        )
+        return out.join(F.broadcast(mapdf), "tile_id")
+
     if not batches:
         # match the populated path's exact schema/order (semi-join keys
         # hoisted first: chunk_key, batch_id, then block columns)
         cols = ["chunk_key", "batch_id"] + [
             f.split()[0] for f in BLOCK_SCHEMA.split(", ") if f.split()[0] != "batch_id"
         ]
-        return spark.createDataFrame([], BLOCK_SCHEMA + ", chunk_key string").select(*cols)
+        return _with_roi_idx(
+            spark.createDataFrame([], BLOCK_SCHEMA + ", chunk_key string").select(*cols)
+        )
     df = spark.read.schema(BLOCK_SCHEMA).parquet(*batches).filter(
         F.col("tile_id").isin(tile_ids)
     )
@@ -433,4 +463,4 @@ def load(
         "chunk_key",
         F.concat_ws("-", F.col("time_idx"), F.col("tile_y"), F.col("tile_x"), F.col("channel")),
     )
-    return df.join(F.broadcast(winners), ["chunk_key", "batch_id"], "left_semi")
+    return _with_roi_idx(df.join(F.broadcast(winners), ["chunk_key", "batch_id"], "left_semi"))

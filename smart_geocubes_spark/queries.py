@@ -1810,10 +1810,29 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route the REAL-codec seam: standards-conformant 8-bit grayscale
+    BMP files (palette, padded bottom-up rows) decoded by the registered
+    pure-numpy parser — same pixel content, same closed-form oracle as
+    image_decode."""
+    from smart_geocubes_spark.operators.multimodal import decode_image_stats, media_table
+
+    return decode_image_stats(media_table(spark, _N_MEDIA, "image", fmt="bmp"))
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_geocubes_spark.operators.multimodal import audio_features, media_table
 
     return audio_features(media_table(spark, _N_MEDIA, "audio"))
+
+
+def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec seam, audio side: PCM16 mono RIFF/WAVE files decoded
+    by the registered chunk-walking parser — same samples, same oracle
+    as audio_features."""
+    from smart_geocubes_spark.operators.multimodal import audio_features, media_table
+
+    return audio_features(media_table(spark, _N_MEDIA, "audio", fmt="wav"))
 
 
 SQL_AUDIO_FEATURES = f"""WITH m AS (
@@ -2076,6 +2095,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_assign_polar": q_tile_assign_polar,
     "temporal_max_mosaic": q_temporal_max_mosaic,
     "image_decode": q_image_decode,
+    "image_decode_bmp": q_image_decode_bmp,
+    "audio_features_wav": q_audio_features_wav,
     "image_resize": q_image_resize,
     "audio_features": q_audio_features,
     "video_frame_sample": q_video_frames,
@@ -2139,6 +2160,8 @@ ORACLES: dict[str, str] = {
     "tile_assign_polar": SQL_TILE_ASSIGN_POLAR,
     "temporal_max_mosaic": SQL_TEMPORAL_MAX_MOSAIC,
     "image_decode": SQL_IMAGE_DECODE,
+    "image_decode_bmp": SQL_IMAGE_DECODE,
+    "audio_features_wav": SQL_AUDIO_FEATURES,
     "image_resize": SQL_IMAGE_RESIZE,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAMES,

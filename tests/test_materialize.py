@@ -106,6 +106,26 @@ def test_kill_and_restart_resume(spark, cube):
     assert df.select("chunk_key").distinct().count() == 18
 
 
+def test_batched_roi_load_matches_per_roi_loads(spark, cube):
+    """Batched-ROI read (reference GeoDataFrame branch,
+    core/accessor.py:400-426): one fill + ONE pruned scan with a
+    roi_idx column must equal the per-ROI loads exactly; blocks in the
+    overlap appear once per requesting ROI."""
+    rois = [ROI_A, ROI_B]
+    materialize(spark, cube, rois)  # one job fills the deduped union
+    assert materialize(spark, cube, rois)["written"] == 0
+    batched = load(spark, cube, rois)
+    assert "roi_idx" in batched.columns
+    per_roi_counts = []
+    for i, r in enumerate(rois):
+        single = load(spark, cube, r)
+        got = {(row.chunk_key) for row in batched.filter(F.col("roi_idx") == i).collect()}
+        want = {(row.chunk_key) for row in single.collect()}
+        assert got == want and len(want) > 0
+        per_roi_counts.append(single.count())
+    assert batched.count() == sum(per_roi_counts)  # overlap: one row per ROI
+
+
 def test_event_log_rows_and_duration_rollup(spark, cube):
     """Per-patch event log (reference core/backend.py:23-28,59-93): one
     committed event row per chunk written, carrying the partition that
