@@ -110,5 +110,7 @@ def normalize_lon_udf():
         def _udf(lon: pd.Series) -> pd.Series:
             return pd.Series(normalize_antimeridian(lon.to_numpy()))
 
-        _UDF_CACHE["norm_lon"] = _udf
+        # consumers reference lon_norm from several expressions (extent
+        # filter + tile math): pin one evaluation per plan
+        _UDF_CACHE["norm_lon"] = _udf.asNondeterministic()
     return _UDF_CACHE["norm_lon"]

@@ -1422,6 +1422,41 @@ FROM events
 """
 
 
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming surface through the DRIVER gate: the availableNow
+    watermarked tumbling-window aggregation (streaming/pipeline.py)
+    actually RUNS as a Structured Streaming query draining into a
+    memory sink; its batch-mode semantics are SQL-expressible, so the
+    post-stream table is oracle-checked rows+schema+hash. Window starts
+    export as epoch BIGINTs (1-day windows are epoch-aligned in both
+    engines)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from smart_geocubes_spark.streaming.pipeline import stream_windowed_event_counts
+
+    # FileStreamSource needs a DIRECTORY; the fixture ships events as a
+    # single file — expose it through a symlinked dir (no copy)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="evstream_")
+        os.symlink(src, os.path.join(d, "part-0.parquet"))
+        src = d
+    return stream_windowed_event_counts(
+        spark, src, query_name=f"stream_event_counts_{_uuid.uuid4().hex[:8]}"
+    )
+
+
+SQL_STREAM_WINDOW_COUNTS = """SELECT
+  CAST(epoch_us(ts) // 86400000000 * 86400 AS BIGINT) AS w_start,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + cumulative sum of session
     breaks, gap > 1800 s) — J6/streaming-sessionization analog in batch."""
@@ -1631,8 +1666,11 @@ def q_tile_assign_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     grid = polar_3413_grid()
     pts = _points(spark, sf_dir)
-    t = make_tile_udf(grid, "EPSG:3413")
-    out = pts.withColumn("t", t(F.col("lon"), F.col("lat")))
+    # 4 expressions consume the struct (extent filter x3 + groupBy key):
+    # pin ONE evaluation (CLAUDE.md rule 3 — alias in its own projection
+    # + asNondeterministic, else Catalyst re-evals per consumer)
+    t = make_tile_udf(grid, "EPSG:3413").asNondeterministic()
+    out = pts.select(t(F.col("lon"), F.col("lat")).alias("t"))
     return (
         out.filter(
             (F.col("t.px") >= grid.geobox.x0)
@@ -2081,6 +2119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "star_join_revenue": q_star_join_revenue,
     "window_running": q_window_running,
     "sessionize": q_sessionize,
+    "stream_window_counts": q_stream_window_counts,
     "set_ops": q_set_ops,
     "rollup_counts": q_rollup,
     "scalar_funcs": q_scalar_funcs,
@@ -2146,6 +2185,7 @@ ORACLES: dict[str, str] = {
     "star_join_revenue": SQL_STAR_JOIN_REVENUE,
     "window_running": SQL_WINDOW_RUNNING,
     "sessionize": SQL_SESSIONIZE,
+    "stream_window_counts": SQL_STREAM_WINDOW_COUNTS,
     "set_ops": SQL_SET_OPS,
     "rollup_counts": SQL_ROLLUP,
     "scalar_funcs": SQL_SCALAR_FUNCS,

@@ -68,7 +68,10 @@ def stream_tile_counts(
 
 
 def stream_windowed_event_counts(
-    spark: SparkSession, events_parquet_dir: str, watermark: str = "1 hour"
+    spark: SparkSession,
+    events_parquet_dir: str,
+    watermark: str = "1 hour",
+    query_name: str = "stream_event_counts",
 ) -> DataFrame:
     """Tumbling-window aggregation over event time, availableNow drain
     into a memory sink. NOTE on semantics: complete output mode retains
@@ -92,13 +95,13 @@ def stream_windowed_event_counts(
     )
     q = (
         agg.writeStream.format("memory")
-        .queryName("stream_event_counts")
+        .queryName(query_name)
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table("stream_event_counts")
+    return spark.table(query_name)
 
 
 def stream_dedup_within_watermark(

@@ -186,6 +186,19 @@ def test_ann_ivf_big_side_is_projection(spark):
     assert "array_max" in plan  # the literal argmax projection
 
 
+def test_polar_and_antimeridian_single_eval_per_kernel(spark):
+    """tile_assign_polar / antimeridian_norm each chain two Python
+    kernels (point prep -> projection/normalization). Every kernel must
+    evaluate ONCE even though its output feeds several expressions
+    (extent filter + group key) — was ArrowEvalPython x3 before the
+    asNondeterministic + own-projection pin."""
+    from smart_geocubes_spark.queries import q_antimeridian, q_tile_assign_polar
+
+    for q in (q_tile_assign_polar, q_antimeridian):
+        plan = plan_of(q(spark, SF))
+        assert plan.count("ArrowEvalPython") == 2  # one per kernel, never more
+
+
 def test_ann_lsh_bucket_single_eval(spark):
     """The hyperplane bucket kernel must run ONCE over the table: the
     bucketed base is localCheckpoint-ed with the UDF pinned
