@@ -297,6 +297,10 @@ def materialize(
     lineage-gated visibility)."""
     spec = open_spec(path)
     batch_id = uuid.uuid4().hex[:12]
+    # the "0"-prefixed batch-id namespace is RESERVED for compaction
+    # (winner = min(batch_id), so compacted batches must sort first)
+    while batch_id.startswith("0"):
+        batch_id = uuid.uuid4().hex[:12]
     t0 = time.time()
 
     candidates = candidate_chunks(spark, spec, roi_bbox, toi_epochs)
@@ -464,3 +468,120 @@ def load(
         F.concat_ws("-", F.col("time_idx"), F.col("tile_y"), F.col("tile_x"), F.col("channel")),
     )
     return _with_roi_idx(df.join(F.broadcast(winners), ["chunk_key", "batch_id"], "left_semi"))
+
+
+# ---------------------------------------------------------------------------
+# maintenance: compaction + vacuum (the 100-TB small-file story)
+# ---------------------------------------------------------------------------
+# Incremental fills accumulate one blocks/lineage batch dir per run; at
+# cluster scale that means (a) a growing file listing per scan, (b) a
+# winner-ranking window whose input grows with batch count, (c) dead
+# "loser" blocks from racing fills. Compaction rewrites the VISIBLE
+# winner set as one batch whose id sorts BEFORE every fill batch (the
+# reserved "0"-prefixed namespace), so under the unchanged read rule
+# (min batch_id per chunk wins) the compacted batch shadows everything
+# it covers the instant its lineage commits — readers are correct
+# before, during, and after, with no locks. Vacuum then physically
+# drops (1) uncommitted crashed orphans and (2) committed batches fully
+# covered by a compacted batch. Contract: one maintenance actor at a
+# time (fills may keep running — a batch that adds NEW chunks after the
+# compact snapshot is never covered, hence never vacuumed).
+
+
+def _compact_id(path: str) -> str:
+    """Next compaction batch id: strictly below every existing one
+    (each compaction shadows its predecessors too)."""
+    n = sum(
+        1
+        for b in os.listdir(os.path.join(path, "lineage"))
+        if b.startswith("batch=0")
+    ) if os.path.isdir(os.path.join(path, "lineage")) else 0
+    return format(0x0FFFFFFFFFFF - n, "012x")
+
+
+def compact(spark: SparkSession, path: str) -> dict:
+    """Rewrite the visible chunk set as ONE batch (blocks + lineage).
+    Returns {batch_id, chunks, batches_covered}."""
+    from pyspark.sql import Window
+
+    committed = _lineage_batches(path)
+    if len(committed) <= 1:
+        return {"batch_id": None, "chunks": 0, "batches_covered": 0}
+    new_id = _compact_id(path)
+    lineage = read_lineage(spark, path)
+    w = Window.partitionBy("chunk_key").orderBy(F.col("batch_id").asc())
+    winners = (
+        lineage.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    ).localCheckpoint(eager=True)  # feeds blocks semi-join AND the new lineage
+
+    bdir = os.path.join(path, "blocks")
+    batches = [
+        os.path.join(bdir, b)
+        for b in sorted(os.listdir(bdir))
+        if os.path.exists(os.path.join(bdir, b, "_SUCCESS"))
+    ]
+    blocks = spark.read.schema(BLOCK_WRITE_SCHEMA).parquet(*batches)
+    visible = blocks.join(
+        F.broadcast(winners.select("chunk_key", "batch_id")),
+        ["chunk_key", "batch_id"],
+        "left_semi",
+    ).withColumn("batch_id", F.lit(new_id))
+    visible.write.mode("overwrite").parquet(os.path.join(bdir, f"batch={new_id}"))
+
+    new_lineage = winners.withColumn("batch_id", F.lit(new_id)).select(
+        "chunk_key", "tile_id", "time_idx", "channel",
+        "batch_id", "partition_id", "n_rows", "n_bytes",
+    )
+    new_lineage.write.mode("overwrite").parquet(
+        os.path.join(path, "lineage", f"batch={new_id}")
+    )  # <- the commit: from here the compacted batch wins every chunk
+    n_chunks = winners.count()
+    return {"batch_id": new_id, "chunks": int(n_chunks), "batches_covered": len(committed)}
+
+
+def vacuum(spark: SparkSession, path: str) -> dict:
+    """Physically remove (1) uncommitted batch dirs (crashed orphans —
+    invisible by the lineage gate) and (2) committed batches whose
+    entire chunk set is covered by a smaller-id batch (shadowed by a
+    compaction). Never touches a batch that wins any chunk."""
+    import shutil
+
+    committed = {os.path.basename(b) for b in _lineage_batches(path)}
+    removed_orphans = []
+    for sub in ("blocks", "events", "lineage"):
+        d = os.path.join(path, sub)
+        if not os.path.isdir(d):
+            continue
+        for b in sorted(os.listdir(d)):
+            if b.startswith("batch=") and b not in committed:
+                shutil.rmtree(os.path.join(d, b), ignore_errors=True)
+                removed_orphans.append(f"{sub}/{b}")
+
+    # shadowed committed batches: all chunk_keys present under a
+    # strictly smaller batch_id (lineage is payload-free — this is a
+    # metadata-only anti-join, never touches block data)
+    lineage = read_lineage(spark, path)
+    a = lineage.select("chunk_key", "batch_id")
+    covered = (
+        a.alias("x")
+        .join(
+            a.alias("y"),
+            (F.col("x.chunk_key") == F.col("y.chunk_key"))
+            & (F.col("y.batch_id") < F.col("x.batch_id")),
+            "left_anti",
+        )
+        .select(F.col("batch_id"))
+        .distinct()
+    )
+    winning = {r["batch_id"] for r in covered.collect()}
+    removed_shadowed = []
+    for b in sorted(committed):
+        bid = b.split("=", 1)[1]
+        if bid in winning:
+            continue
+        for sub in ("blocks", "events", "lineage"):
+            p = os.path.join(path, sub, b)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+        removed_shadowed.append(b)
+    return {"orphans_removed": removed_orphans, "shadowed_removed": removed_shadowed}

@@ -737,6 +737,38 @@ WHERE EXISTS (SELECT 1 FROM needles n WHERE contains(c.text, n.needle))
 """
 
 
+def q_decontaminate_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-needle-set decontamination: the Aho-Corasick swap-in for
+    held-out registries where exists(contains) goes quadratic — one
+    automaton pass, O(len(text)) per doc independent of |needles| (a
+    bigger needle set than q_decontaminate: every 11th doc). The oracle
+    is the SAME EXISTS/contains subquery — the automaton is invisible
+    to the gate."""
+    from smart_geocubes_spark.operators.decontam import decontaminate_ac
+
+    ensure_base_views(spark, sf_dir)
+    corpus = corpus_df(spark)
+    needles = [
+        r[0]
+        for r in spark.sql(
+            f"SELECT substr(text, 21, 40) FROM ({CORPUS_SQL}) WHERE doc_id % 11 = 0"
+            " AND length(text) >= 60"
+        ).collect()
+    ]
+    return decontaminate_ac(corpus, needles)
+
+
+SQL_DECONTAMINATE_AC = f"""WITH corpus AS ({CORPUS_SQL}),
+needles AS (
+  SELECT substr(text, 21, 40) AS needle FROM corpus
+  WHERE doc_id % 11 = 0 AND length(text) >= 60
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id
+FROM corpus c
+WHERE EXISTS (SELECT 1 FROM needles n WHERE contains(c.text, n.needle))
+"""
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_base_views(spark, sf_dir)
     return dedup_ngram_jaccard(spark)
@@ -2097,6 +2129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
+    "decontaminate_ac": q_decontaminate_ac,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
@@ -2163,6 +2196,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "decontaminate": SQL_DECONTAMINATE,
+    "decontaminate_ac": SQL_DECONTAMINATE_AC,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "simhash": SQL_SIMHASH,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,

@@ -106,6 +106,65 @@ def test_kill_and_restart_resume(spark, cube):
     assert df.select("chunk_key").distinct().count() == 18
 
 
+def _visible_state(spark, cube, roi):
+    return {
+        (r.chunk_key, r.mn)
+        for r in load(spark, cube, roi)
+        .select("chunk_key", F.array_min("block").alias("mn"))
+        .collect()
+    }
+
+
+def test_compact_shadows_then_vacuum_drops(spark, cube):
+    """Compaction rewrites the visible winner set under a batch id that
+    sorts FIRST (reserved '0' namespace), so the unchanged min-batch_id
+    read rule flips to it atomically at lineage commit; vacuum then
+    physically drops crashed orphans and fully-shadowed batches. Reader
+    state must be IDENTICAL at every step."""
+    import os as _os
+
+    from smart_geocubes_spark.plans.materialize import compact, vacuum
+
+    big = (2.0, 14.0, 7.0, 18.0)
+    materialize(spark, cube, ROI_A)
+    materialize(spark, cube, ROI_B)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        materialize(spark, cube, big, fail_after_blocks=True)  # orphan
+    before = _visible_state(spark, cube, big)
+    assert before
+
+    m = compact(spark, cube)
+    assert m["batch_id"].startswith("0") and m["batches_covered"] == 2
+    assert _visible_state(spark, cube, big) == before
+
+    v = vacuum(spark, cube)
+    assert any("blocks/" in x for x in v["orphans_removed"])  # the crash
+    assert len(v["shadowed_removed"]) == 2  # both fill batches covered
+    assert _visible_state(spark, cube, big) == before
+    assert len(_os.listdir(_os.path.join(cube, "blocks"))) == 1  # one batch left
+    # idempotent refill still writes nothing (lineage intact post-compact)
+    assert materialize(spark, cube, ROI_A)["written"] == 0
+
+
+def test_fill_after_compact_survives_vacuum(spark, cube):
+    from smart_geocubes_spark.plans.materialize import compact, vacuum
+
+    materialize(spark, cube, ROI_A)
+    materialize(spark, cube, ROI_B)
+    compact(spark, cube)
+    new_roi = (8.3, 12.2, 9.8, 13.9)  # disjoint tiles: new chunks
+    m = materialize(spark, cube, new_roi)
+    assert m["written"] > 0
+    v = vacuum(spark, cube)
+    assert f"batch={m['batch_id']}" not in v["shadowed_removed"]
+    assert load(spark, cube, new_roi).count() == m["written"]
+    # a SECOND compact folds the new batch in under a smaller id
+    m2 = compact(spark, cube)
+    assert m2["batch_id"] < "0fffffffffff"
+    vacuum(spark, cube)
+    assert load(spark, cube, new_roi).count() == m["written"]
+
+
 def test_batched_roi_load_matches_per_roi_loads(spark, cube):
     """Batched-ROI read (reference GeoDataFrame branch,
     core/accessor.py:400-426): one fill + ONE pruned scan with a

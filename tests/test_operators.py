@@ -353,6 +353,51 @@ class TestDistanceJoinSelfExclusion:
         assert [(r.qid, r.point_id) for r in got] == [(1, 1)]
 
 
+class TestAhoCorasick:
+    def test_automaton_matches_bruteforce(self, spark):
+        """Adversarial needle sets: overlapping needles, needles that
+        are prefixes/suffixes/infixes of each other, failure-chain
+        matches (a match reachable only via fail links)."""
+        from smart_geocubes_spark.operators.decontam import (
+            _contains_any,
+            build_automaton,
+        )
+
+        needles = ["abc", "bcd", "c", "cab", "abcabd", "dab", "bb"]
+        auto = build_automaton(needles)
+        texts = [
+            "xxabcxx", "xbcdx", "zzz", "cc", "ab", "abcab", "abcabd",
+            "aabb", "dabc", "xyabcaby", "bbbb", "", "abcabcabd",
+        ]
+        for t in texts:
+            assert _contains_any(*auto, t) == any(n in t for n in needles), t
+        # single-needle degenerate + empty needle ignored
+        g, f, o = build_automaton(["", "zz"])
+        assert _contains_any(g, f, o, "azza") and not _contains_any(g, f, o, "az")
+
+    def test_ac_equals_exists_contains_on_corpus(self, spark):
+        """The distributed AC pass must flag exactly the docs the JVM
+        exists(contains) projection flags, on the same needle set."""
+        from smart_geocubes_spark.operators.decontam import decontaminate_ac
+        from smart_geocubes_spark.operators.dedup import corpus_df
+        from smart_geocubes_spark.queries import ensure_base_views, q_decontaminate
+
+        ensure_base_views(spark, "/root/testdata/sf0.01")
+        corpus = corpus_df(spark)
+        needles = [
+            r[0]
+            for r in spark.sql(
+                "SELECT substr(text, 21, 40) FROM (SELECT doc_id, text FROM documents)"
+                " WHERE doc_id % 97 = 0 AND length(text) >= 60"
+            ).collect()
+        ]
+        got = {r.doc_id for r in decontaminate_ac(corpus, needles).collect()}
+        want = {r.doc_id for r in q_decontaminate(spark, "/root/testdata/sf0.01").collect()}
+        # q_decontaminate derives needles from the CORPUS (superset of
+        # documents): every doc this AC run flags must be flagged there
+        assert got and got <= want
+
+
 class TestMinhashRecall:
     def test_more_bands_more_recall(self, spark):
         """LSH recall is a deployment knob: ground truth = exact Jaccard
