@@ -6,11 +6,13 @@ single JVM ``exists(contains)`` projection — right for the reference
 contract (benchmark suites are small), but O(len(text) * |needles|)
 per doc. Held-out registries at training scale carry 10^4-10^6
 needles, where the multiplicative term dominates; this operator is the
-swap-in SCALE.md promises: a goto/fail/output automaton built ONCE on
-the driver (O(sum needle lengths)), shipped to executors in the Arrow
-kernel closure, giving O(len(text)) per doc INDEPENDENT of |needles|.
-The big side stays a single-pass projection — no join, no fan-out,
-same plan shape as the exists(contains) form.
+swap-in SCALE.md promises: an automaton built ONCE on the driver
+(O(sum needle lengths)), shipped to executors as a SPARK BROADCAST of
+flat numpy arrays (CSR transition table — one deserialized copy per
+executor, NOT a python-object closure pickled into every task), giving
+O(len(text)) per doc INDEPENDENT of |needles|. The big side stays a
+single-pass projection — no join, no fan-out, same plan shape as the
+exists(contains) form.
 
 Semantics are exactly "any needle is a substring" (multi-pattern
 substring search), so the DuckDB oracle is the same EXISTS/contains
@@ -20,18 +22,26 @@ detail the gate cannot see.
 
 from __future__ import annotations
 
+from bisect import bisect_left
 from collections import deque
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+# (starts, chars, targets, fail, out): CSR goto table — state s's sorted
+# outgoing edges live at [starts[s], starts[s+1]) of chars/targets —
+# plus failure links and the "some needle ends here or on my failure
+# chain" flag. ~24 B/state + 16 B/edge vs 100+ B/edge for dict tries.
+Automaton = tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]
 
-def build_automaton(needles: list[str]) -> tuple[list[dict], list[int], list[bool]]:
-    """(goto, fail, out): classic Aho-Corasick construction. ``out[s]``
-    is True iff some needle ends at state s OR at any state on s's
-    failure chain (propagated during the BFS, so matching never walks
-    the chain)."""
+
+def build_automaton(needles: list[str]) -> Automaton:
+    """Classic Aho-Corasick construction (dict trie + BFS failure
+    links), flattened to the CSR numpy form above. ``out`` is
+    propagated along failure chains during the BFS, so matching never
+    walks the chain to test for a hit."""
     goto: list[dict] = [{}]
     out: list[bool] = [False]
     for nd in needles:
@@ -48,9 +58,7 @@ def build_automaton(needles: list[str]) -> tuple[list[dict], list[int], list[boo
             s = nxt
         out[s] = True
     fail = [0] * len(goto)
-    q: deque[int] = deque()
-    for t in goto[0].values():
-        q.append(t)  # depth-1 states fail to the root
+    q: deque[int] = deque(goto[0].values())  # depth-1 states fail to root
     while q:
         r = q.popleft()
         out[r] = out[r] or out[fail[r]]
@@ -60,15 +68,34 @@ def build_automaton(needles: list[str]) -> tuple[list[dict], list[int], list[boo
             while f and ch not in goto[f]:
                 f = fail[f]
             fail[u] = goto[f].get(ch, 0)
-    return goto, fail, out
+
+    n = len(goto)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(g) for g in goto], out=starts[1:])
+    chars = np.empty(int(starts[-1]), dtype=np.int64)
+    targets = np.empty(int(starts[-1]), dtype=np.int64)
+    for s, g in enumerate(goto):
+        base = int(starts[s])
+        for k, (cc, t) in enumerate(sorted((ord(c), t) for c, t in g.items())):
+            chars[base + k] = cc
+            targets[base + k] = t
+    return starts, chars, targets, np.asarray(fail, dtype=np.int64), np.asarray(out, dtype=bool)
 
 
-def _contains_any(goto: list[dict], fail: list[int], out: list[bool], text: str) -> bool:
+def _contains_any(auto: Automaton, text: str) -> bool:
+    starts, chars, targets, fail, out = auto
     s = 0
     for ch in text:
-        while s and ch not in goto[s]:
-            s = fail[s]
-        s = goto[s].get(ch, 0)
+        c = ord(ch)
+        while True:
+            lo, hi = int(starts[s]), int(starts[s + 1])
+            j = bisect_left(chars, c, lo, hi)
+            if j < hi and chars[j] == c:
+                s = int(targets[j])
+                break
+            if s == 0:
+                break
+            s = int(fail[s])
         if out[s]:
             return True
     return False
@@ -76,21 +103,24 @@ def _contains_any(goto: list[dict], fail: list[int], out: list[bool], text: str)
 
 def decontaminate_ac(corpus: DataFrame, needles: list[str]) -> DataFrame:
     """Docs containing ANY needle as a substring -> (doc_id). The
-    automaton is built once here (driver) and captured by the kernel
-    closure — the per-task cost is its one-time deserialization, the
-    per-doc cost O(len(text)).
+    automaton is built once here (driver) and shipped as a Spark
+    broadcast — per-executor cost is one deserialization of five flat
+    arrays; per-doc cost O(len(text)).
 
     Reference analog: held-out-set filtering before training-data
     export; the reference repo has no text pipeline, this extends its
     cache-fill lineage discipline to corpus hygiene (task mandate)."""
-    goto, fail, out = build_automaton(sorted(set(needles)))
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        build_automaton(sorted(set(needles)))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        auto = bc.value
         for b in batches:
             keep = [
                 did
                 for did, txt in zip(b["doc_id"], b["text"])
-                if _contains_any(goto, fail, out, txt)
+                if _contains_any(auto, txt)
             ]
             yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
 

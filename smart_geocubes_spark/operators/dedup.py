@@ -78,9 +78,9 @@ def dedup_exact(corpus: DataFrame) -> DataFrame:
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """``n_hashes`` min-wise hashes per doc: min over
     md5('<seed>|' || shingle). Parameterized because recall is a
-    deployment knob: at 100 TB the default 8 hashes / 4 bands misses
-    ~(1-J^2)^4 of true pairs (10% at J=0.66) — production corpora want
-    16/8 or more (see tests/test_operators.py recall test)."""
+    deployment knob: 8 hashes / 4 bands misses ~(1-J^2)^4 of true pairs
+    (10% at J=0.66), which is why the DEFAULT is 16/8 — see the
+    tests/test_operators.py recall test that justified the flip."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(n_hashes)

@@ -154,6 +154,17 @@ def _lineage_batches(path: str) -> list[str]:
     return out
 
 
+def _block_batches(path: str) -> list[str]:
+    """Committed block batch dirs (_SUCCESS present) — the one listing
+    shared by load() and compact()."""
+    bdir = os.path.join(path, "blocks")
+    return [
+        os.path.join(bdir, b)
+        for b in sorted(os.listdir(bdir))
+        if os.path.exists(os.path.join(bdir, b, "_SUCCESS"))
+    ]
+
+
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     """Committed lineage (the ``loaded_patches`` list)."""
     batches = _lineage_batches(path)
@@ -182,7 +193,11 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     )
     if not dirs:
         return spark.createDataFrame([], EVENT_SCHEMA)
-    return spark.read.schema(EVENT_SCHEMA).parquet(*dirs)
+    # a compacted batch carries exact COPIES of prior batches' events
+    # (history preservation); until vacuum removes the originals both
+    # are visible — drop the byte-identical duplicates. Metadata-sized
+    # table, so the distinct is cheap.
+    return spark.read.schema(EVENT_SCHEMA).parquet(*dirs).dropDuplicates()
 
 
 def event_durations(spark: SparkSession, path: str) -> DataFrame:
@@ -405,12 +420,8 @@ def load(
             for tx, ty in spec.grid.tiles_overlapping_bbox(*r)
         ]
         tile_ids = sorted({t for t, _ in roi_pairs})
-    bdir = os.path.join(path, "blocks")
-    batches = [
-        os.path.join(bdir, b)
-        for b in sorted(os.listdir(bdir))
-        if os.path.exists(os.path.join(bdir, b, "_SUCCESS"))
-    ]
+    batches = _block_batches(path)
+
     def _with_roi_idx(out: DataFrame) -> DataFrame:
         if roi_pairs is None:
             return out
@@ -489,19 +500,27 @@ def load(
 
 
 def _compact_id(path: str) -> str:
-    """Next compaction batch id: strictly below every existing one
-    (each compaction shadows its predecessors too)."""
-    n = sum(
-        1
-        for b in os.listdir(os.path.join(path, "lineage"))
-        if b.startswith("batch=0")
-    ) if os.path.isdir(os.path.join(path, "lineage")) else 0
-    return format(0x0FFFFFFFFFFF - n, "012x")
+    """Next compaction batch id: strictly below every LIVE one. Derived
+    from min(existing 0-prefixed ids) - 1 across blocks AND lineage dirs
+    — a count would reuse a live compaction's id after vacuum prunes its
+    shadowed predecessors (overwrite-while-reading)."""
+    lo = 0x0FFFFFFFFFFF + 1
+    for sub in ("lineage", "blocks"):
+        d = os.path.join(path, sub)
+        if not os.path.isdir(d):
+            continue
+        for b in os.listdir(d):
+            if b.startswith("batch=0"):
+                lo = min(lo, int(b.split("=", 1)[1], 16))
+    return format(lo - 1, "012x")
 
 
 def compact(spark: SparkSession, path: str) -> dict:
-    """Rewrite the visible chunk set as ONE batch (blocks + lineage).
-    Returns {batch_id, chunks, batches_covered}."""
+    """Rewrite the visible chunk set as ONE batch (blocks + lineage) and
+    carry the FULL committed event history into it (events are the
+    append-only log — maintenance must not erase it; read_events
+    de-duplicates the carried copies). Returns
+    {batch_id, chunks, batches_covered}."""
     from pyspark.sql import Window
 
     committed = _lineage_batches(path)
@@ -514,19 +533,36 @@ def compact(spark: SparkSession, path: str) -> dict:
         lineage.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     ).localCheckpoint(eager=True)  # feeds blocks semi-join AND the new lineage
 
-    bdir = os.path.join(path, "blocks")
-    batches = [
-        os.path.join(bdir, b)
-        for b in sorted(os.listdir(bdir))
-        if os.path.exists(os.path.join(bdir, b, "_SUCCESS"))
-    ]
-    blocks = spark.read.schema(BLOCK_WRITE_SCHEMA).parquet(*batches)
+    blocks = spark.read.schema(BLOCK_WRITE_SCHEMA).parquet(*_block_batches(path))
+    # blocks written by the pre-event-log format carry no chunk_key
+    # column (schema read fills NULL, and NULL never semi-joins):
+    # recompute it so legacy batches compact instead of silently
+    # vanishing from the rewritten set
+    blocks = blocks.withColumn(
+        "chunk_key",
+        F.coalesce(
+            F.col("chunk_key"),
+            F.concat_ws(
+                "-", F.col("time_idx"), F.col("tile_y"), F.col("tile_x"), F.col("channel")
+            ),
+        ),
+    )
     visible = blocks.join(
         F.broadcast(winners.select("chunk_key", "batch_id")),
         ["chunk_key", "batch_id"],
         "left_semi",
     ).withColumn("batch_id", F.lit(new_id))
+    bdir = os.path.join(path, "blocks")
     visible.write.mode("overwrite").parquet(os.path.join(bdir, f"batch={new_id}"))
+
+    # event history: copy every committed event row (original batch_id
+    # values preserved in the COLUMN; the dir is the visibility unit)
+    # into the compacted batch BEFORE its lineage commit, so vacuuming
+    # the shadowed batches later loses nothing
+    events = read_events(spark, path)
+    events.write.mode("overwrite").parquet(
+        os.path.join(path, "events", f"batch={new_id}")
+    )
 
     new_lineage = winners.withColumn("batch_id", F.lit(new_id)).select(
         "chunk_key", "tile_id", "time_idx", "channel",
@@ -539,22 +575,36 @@ def compact(spark: SparkSession, path: str) -> dict:
     return {"batch_id": new_id, "chunks": int(n_chunks), "batches_covered": len(committed)}
 
 
-def vacuum(spark: SparkSession, path: str) -> dict:
-    """Physically remove (1) uncommitted batch dirs (crashed orphans —
-    invisible by the lineage gate) and (2) committed batches whose
-    entire chunk set is covered by a smaller-id batch (shadowed by a
-    compaction). Never touches a batch that wins any chunk."""
+def vacuum(spark: SparkSession, path: str, min_orphan_age_sec: float = 86400.0) -> dict:
+    """Physically remove (1) uncommitted batch dirs older than
+    ``min_orphan_age_sec`` (crashed orphans — invisible by the lineage
+    gate) and (2) committed batches whose entire chunk set is covered
+    by a smaller-id batch (shadowed by a compaction; their event
+    history was carried into the compacted batch). Never touches a
+    batch that wins any chunk.
+
+    The age guard is what makes concurrent fills safe: a fill IN FLIGHT
+    looks exactly like a crashed orphan (blocks written, lineage not
+    yet) — deleting it would let its later lineage commit claim chunks
+    whose blocks are gone, permanent silent loss. Default 24 h; pass 0
+    only when no fill can be running (tests, single-actor admin)."""
     import shutil
 
     committed = {os.path.basename(b) for b in _lineage_batches(path)}
+    now = time.time()
     removed_orphans = []
     for sub in ("blocks", "events", "lineage"):
         d = os.path.join(path, sub)
         if not os.path.isdir(d):
             continue
         for b in sorted(os.listdir(d)):
-            if b.startswith("batch=") and b not in committed:
-                shutil.rmtree(os.path.join(d, b), ignore_errors=True)
+            p = os.path.join(d, b)
+            if (
+                b.startswith("batch=")
+                and b not in committed
+                and now - os.path.getmtime(p) >= min_orphan_age_sec
+            ):
+                shutil.rmtree(p, ignore_errors=True)
                 removed_orphans.append(f"{sub}/{b}")
 
     # shadowed committed batches: all chunk_keys present under a

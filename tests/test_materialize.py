@@ -137,9 +137,16 @@ def test_compact_shadows_then_vacuum_drops(spark, cube):
     assert m["batch_id"].startswith("0") and m["batches_covered"] == 2
     assert _visible_state(spark, cube, big) == before
 
-    v = vacuum(spark, cube)
+    # default age guard protects a fresh (possibly in-flight) batch;
+    # SHADOWED removal is age-independent (committed batches whose
+    # winners all live elsewhere are provably dead)
+    v0 = vacuum(spark, cube)
+    assert not v0["orphans_removed"]
+    assert len(v0["shadowed_removed"]) == 2  # both fill batches covered
+    assert _visible_state(spark, cube, big) == before
+    # ...age 0 = admin mode: the crashed orphan goes too
+    v = vacuum(spark, cube, min_orphan_age_sec=0)
     assert any("blocks/" in x for x in v["orphans_removed"])  # the crash
-    assert len(v["shadowed_removed"]) == 2  # both fill batches covered
     assert _visible_state(spark, cube, big) == before
     assert len(_os.listdir(_os.path.join(cube, "blocks"))) == 1  # one batch left
     # idempotent refill still writes nothing (lineage intact post-compact)
@@ -155,14 +162,41 @@ def test_fill_after_compact_survives_vacuum(spark, cube):
     new_roi = (8.3, 12.2, 9.8, 13.9)  # disjoint tiles: new chunks
     m = materialize(spark, cube, new_roi)
     assert m["written"] > 0
-    v = vacuum(spark, cube)
+    v = vacuum(spark, cube, min_orphan_age_sec=0)
     assert f"batch={m['batch_id']}" not in v["shadowed_removed"]
     assert load(spark, cube, new_roi).count() == m["written"]
-    # a SECOND compact folds the new batch in under a smaller id
+    # a SECOND compact folds the new batch in under a strictly smaller
+    # id even though vacuum pruned the first compact's predecessors
+    # (id derives from min live id, never from a count)
     m2 = compact(spark, cube)
     assert m2["batch_id"] < "0fffffffffff"
-    vacuum(spark, cube)
+    vacuum(spark, cube, min_orphan_age_sec=0)
     assert load(spark, cube, new_roi).count() == m["written"]
+
+
+def test_compact_preserves_event_history(spark, cube):
+    """Maintenance must not erase the append-only event log: compaction
+    carries all committed events into the compacted batch, read_events
+    de-duplicates until vacuum, and post-vacuum history is intact."""
+    from smart_geocubes_spark.plans.materialize import compact, read_events, vacuum
+
+    m1 = materialize(spark, cube, ROI_A)
+    m2 = materialize(spark, cube, ROI_B)
+    before = {
+        (r.chunk_key, r.batch_id, r.t_start_us, r.t_end_us)
+        for r in read_events(spark, cube).collect()
+    }
+    assert len(before) == m1["written"] + m2["written"]
+    compact(spark, cube)
+    assert {
+        (r.chunk_key, r.batch_id, r.t_start_us, r.t_end_us)
+        for r in read_events(spark, cube).collect()
+    } == before  # copies de-duplicated
+    vacuum(spark, cube, min_orphan_age_sec=0)
+    assert {
+        (r.chunk_key, r.batch_id, r.t_start_us, r.t_end_us)
+        for r in read_events(spark, cube).collect()
+    } == before  # originals gone, carried history remains
 
 
 def test_batched_roi_load_matches_per_roi_loads(spark, cube):

@@ -370,10 +370,10 @@ class TestAhoCorasick:
             "aabb", "dabc", "xyabcaby", "bbbb", "", "abcabcabd",
         ]
         for t in texts:
-            assert _contains_any(*auto, t) == any(n in t for n in needles), t
+            assert _contains_any(auto, t) == any(n in t for n in needles), t
         # single-needle degenerate + empty needle ignored
-        g, f, o = build_automaton(["", "zz"])
-        assert _contains_any(g, f, o, "azza") and not _contains_any(g, f, o, "az")
+        auto2 = build_automaton(["", "zz"])
+        assert _contains_any(auto2, "azza") and not _contains_any(auto2, "az")
 
     def test_ac_equals_exists_contains_on_corpus(self, spark):
         """The distributed AC pass must flag exactly the docs the JVM
