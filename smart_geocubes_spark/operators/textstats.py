@@ -83,6 +83,48 @@ def token_counts(docs: DataFrame, keep: bool = False) -> DataFrame:
     )
 
 
+def repetition_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.1 in
+    miniature) as INTEGER rules — no float thresholds to drift between
+    engines: a doc is flagged ``repetitive`` when its most frequent
+    word-bigram exceeds half of all bigrams (2*top > n_bigrams) or
+    distinct words fall under a third of words (3*distinct < words).
+
+    Scale shape: the top-bigram count is a RUN-LENGTH FOLD over the
+    doc's sorted bigram array — one JVM projection, zero shuffle, zero
+    explode (the explode x n_bigrams + double groupBy form ships
+    n_bigrams rows per doc through two exchanges and survives only as
+    the DuckDB oracle)."""
+    w = F.split(F.col("text"), " ")
+    df = docs.select(F.col("doc_id").cast("long").alias("doc_id"), w.alias("w"))
+    bg = (
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        " ELSE array() END"
+    )
+    top = F.expr(
+        f"""aggregate(
+          array_sort({bg}),
+          named_struct('prev', '', 'run', 0L, 'best', 0L),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run', IF(x = acc.prev, acc.run + 1L, 1L),
+            'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+          acc -> acc.best)"""
+    )
+    out = df.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct_words"),
+        top.alias("top_bigram_count"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (2 * F.col("top_bigram_count") > F.col("n_words") - 1)
+        | (3 * F.col("n_distinct_words") < F.col("n_words")),
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over rolling char 8-grams
     (JVM: sequence + transform + array_min)."""

@@ -69,6 +69,63 @@ def _roi_blocks(
     return cand.mapInPandas(_gen(grid.chunk_px), schema=ZONAL_BLOCK_SCHEMA)
 
 
+def pyramid_overview(
+    spark: SparkSession,
+    grid: TileGrid,
+    rois: list[tuple[float, float, float, float]],
+    channels: list[str],
+    levels: list[int] = [1, 2],
+) -> DataFrame:
+    """Multi-resolution OVERVIEWS (the COG/zarr pyramid the reference's
+    datacubes serve): per (tile, channel, level) the 2^L x 2^L
+    mean-pooled grid's pixel count and integer-encoded checksum
+    (sum * 32 — block values step by 0.5, level-1 means by 1/8,
+    level-2 by 1/32, all dyadic, so every float op is EXACT and the
+    scaled sum is an exact BIGINT in both engines).
+
+    Scale shape: ONE fused Arrow kernel generates the base block and
+    iterates the pooling in numpy (the reduce never leaves the task;
+    shuffle carries one summary row per chunk per level, never pixels).
+    At 100 TB the same kernel runs over the materialized blocks
+    instead of the synthesizer."""
+    for lv in levels:
+        assert grid.chunk_px % (1 << lv) == 0, "chunk_px must divide by 2^level"
+    tiles = roi_tiles_df(spark, grid, rois)
+    ch = spark.createDataFrame(pd.DataFrame({"channel": channels}))
+    cand = tiles.crossJoin(F.broadcast(ch))
+    W = grid.chunk_px
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ramp = np.arange(W * W, dtype=np.float64) * 0.5
+        for b in batches:
+            off = b["channel"].map(CHANNEL_OFFSETS).fillna(0.0).to_numpy(dtype=np.float64)
+            base = chunk_value_base(
+                b["tile_y"].to_numpy(dtype=np.float64),
+                b["tile_x"].to_numpy(dtype=np.float64),
+                off,
+            )
+            n = len(base)
+            g = (base[:, None] + ramp[None, :]).reshape(n, W, W)
+            out_frames = []
+            lv_done = 0
+            for lv in sorted(levels):
+                while lv_done < lv:  # iterated 2x2 mean pooling
+                    h, w = g.shape[1] // 2, g.shape[2] // 2
+                    g = g.reshape(n, h, 2, w, 2).mean(axis=(2, 4))
+                    lv_done += 1
+                sums = g.reshape(n, -1).sum(axis=1)
+                f = b[["tile_id", "channel"]].copy()
+                f["level"] = np.int64(lv)
+                f["n_px"] = np.int64(g.shape[1] * g.shape[2])
+                f["sum_x32"] = np.rint(sums * 32.0).astype(np.int64)
+                out_frames.append(f)
+            yield pd.concat(out_frames, ignore_index=True)
+
+    return cand.mapInPandas(
+        gen, schema="tile_id long, channel string, level long, n_px long, sum_x32 long"
+    )
+
+
 def zonal_value_histogram(
     spark: SparkSession,
     grid: TileGrid,

@@ -435,6 +435,51 @@ FROM px GROUP BY 1, 2, 3
 # lineage anti-join chunk plan (cache-skip, the reference's core optimization)
 # ---------------------------------------------------------------------------
 
+def q_pyramid_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution overviews over the ROI blocks (levels 1 and 2).
+    Oracle: the pooled value has a closed form — the mean of pixel
+    indices over a 2^L-aligned square is (k*r2 + (k-1)/2)*W + k*c2 +
+    (k-1)/2 — and every quantity is dyadic, so the iterated numpy
+    pooling and the direct SQL form agree exactly."""
+    from smart_geocubes_spark.operators.zonal import pyramid_overview
+
+    return pyramid_overview(
+        spark, GRID, ZONAL_ROIS, [c for c, _ in _ZONAL_CHANNELS], levels=[1, 2]
+    )
+
+
+def _pyramid_sql() -> str:
+    W = GRID.chunk_px
+    return f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {" OR ".join(_zonal_tile_ranges())}
+),
+px AS (
+  SELECT tile_id, channel, level, k,
+         (ty * 1000.0 + tx + off)
+         + 0.5 * ((k * r2 + (k - 1) / 2.0) * {W} + k * c2 + (k - 1) / 2.0) AS v
+  FROM ztf
+  CROSS JOIN (VALUES {_ZONAL_CH_VALUES}) ch(channel, off)
+  CROSS JOIN (VALUES (1, 2), (2, 4)) lv(level, k),
+       generate_series(0, {W // 2 - 1}) tr(r2),
+       generate_series(0, {W // 2 - 1}) tc(c2)
+  WHERE r2 < {W} / k AND c2 < {W} / k
+)
+SELECT tile_id, channel, CAST(level AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) * 32 AS BIGINT) AS sum_x32
+FROM px GROUP BY 1, 2, 3
+"""
+
+
+SQL_PYRAMID_OVERVIEW = _pyramid_sql()
+
+
 def q_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidates (ROI tiles x channels) LEFT ANTI JOIN committed
     lineage -> exactly the chunks a resume run must write
@@ -1148,6 +1193,41 @@ SQL_TOKEN_COUNT = r"""SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens
 FROM documents
+"""
+
+
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates, integer rules only. Engine: one
+    zero-shuffle run-length fold per doc; oracle: the classic
+    unnest + double-GROUP BY (same answer, the shape the engine
+    deliberately avoids at scale)."""
+    from smart_geocubes_spark.operators.textstats import repetition_quality
+
+    ensure_base_views(spark, sf_dir)
+    return repetition_quality(spark.table("documents"))
+
+
+SQL_REPETITION_QUALITY = """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+b AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+  FROM w
+),
+bg AS (
+  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS bigram
+  FROM w, generate_series(1, 600) t(i)
+  WHERE i <= len(ws) - 1
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram FROM cnt GROUP BY doc_id)
+SELECT b.doc_id, b.n_words, b.n_distinct_words,
+       CAST(coalesce(top.top_bigram, 0) AS BIGINT) AS top_bigram_count,
+       (2 * coalesce(top.top_bigram, 0) > b.n_words - 1)
+        OR (3 * b.n_distinct_words < b.n_words) AS repetitive
+FROM b LEFT JOIN top ON b.doc_id = CAST(top.doc_id AS BIGINT)
 """
 
 
@@ -2122,6 +2202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_asof_by": q_merge_asof_by,
     "zonal_stats": q_zonal_stats,
     "zonal_histogram": q_zonal_histogram,
+    "pyramid_overview": q_pyramid_overview,
     "chunk_plan_antijoin": q_chunk_plan,
     "event_durations": q_event_durations,
     "antimeridian_norm": q_antimeridian,
@@ -2144,6 +2225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_quality": q_repetition_quality,
     "corpus_funnel": q_corpus_funnel,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
@@ -2189,6 +2271,7 @@ ORACLES: dict[str, str] = {
     "merge_asof_by": SQL_MERGE_ASOF_BY,
     "zonal_stats": SQL_ZONAL_STATS,
     "zonal_histogram": SQL_ZONAL_HISTOGRAM,
+    "pyramid_overview": SQL_PYRAMID_OVERVIEW,
     "chunk_plan_antijoin": SQL_CHUNK_PLAN,
     "event_durations": SQL_EVENT_DURATIONS,
     "antimeridian_norm": SQL_ANTIMERIDIAN,
@@ -2211,6 +2294,7 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "repetition_quality": SQL_REPETITION_QUALITY,
     "corpus_funnel": SQL_CORPUS_FUNNEL,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,

@@ -353,6 +353,30 @@ class TestDistanceJoinSelfExclusion:
         assert [(r.qid, r.point_id) for r in got] == [(1, 1)]
 
 
+class TestPyramidOverview:
+    def test_iterated_pool_equals_direct_mean(self, spark):
+        """Iterated 2x2 pooling must equal the direct 2^L x 2^L mean
+        (exact for the dyadic block values) — checked against a
+        brute-force numpy pooling of the same closed-form block."""
+        import numpy as np
+
+        from smart_geocubes_spark.operators.zonal import pyramid_overview
+        from smart_geocubes_spark.queries import GRID, ZONAL_ROIS
+
+        out = pyramid_overview(
+            spark, GRID, [ZONAL_ROIS[0]], ["dem"], levels=[1, 2]
+        ).toPandas()
+        W = GRID.chunk_px
+        ramp = np.arange(W * W, dtype=np.float64) * 0.5
+        for _, r in out.iterrows():
+            ty, tx = divmod(int(r.tile_id), GRID.n_tiles_x)
+            g = (ty * 1000.0 + tx + ramp).reshape(W, W)
+            k = 1 << int(r.level)
+            direct = g.reshape(W // k, k, W // k, k).mean(axis=(1, 3))
+            assert r.n_px == (W // k) ** 2
+            assert int(r.sum_x32) == int(round(direct.sum() * 32))
+
+
 class TestAhoCorasick:
     def test_automaton_matches_bruteforce(self, spark):
         """Adversarial needle sets: overlapping needles, needles that

@@ -214,6 +214,17 @@ def test_ann_lsh_bucket_single_eval(spark):
     assert plan.count("ExistingRDD") == 2  # both join sides read the checkpoint
 
 
+def test_repetition_quality_is_pure_projection(spark):
+    """Top-bigram frequency must come from the per-doc sorted-array
+    run-length fold, not explode x n_bigrams + double groupBy: the
+    plan is one projection — no Exchange, no Join, no Python."""
+    from smart_geocubes_spark.queries import q_repetition_quality
+
+    plan = plan_of(q_repetition_quality(spark, SF))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_corpus_funnel_is_join_free(spark):
     """The funnel composes lang/quality/token ops as PROJECTIONS
     (keep=True): no join anywhere — only the dedup groupBy and the
