@@ -814,6 +814,51 @@ WHERE EXISTS (SELECT 1 FROM needles n WHERE contains(c.text, n.needle))
 """
 
 
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram overlap decontamination — not a boolean
+    substring hit but the FRACTION of a doc's distinct 13-gram-ish
+    shingles that appear in the held-out set, flagged at >= 20% via the
+    integer rule 5*overlap >= total. Scale shape: the needle shingle
+    set is distinct + BROADCAST (held-out suites are small by
+    contract); the corpus side is one shingle pass + two metadata-sized
+    aggregations, no O(n^2) anywhere."""
+    from smart_geocubes_spark.operators.dedup import shingles
+
+    ensure_base_views(spark, sf_dir)
+    sh = shingles(corpus_df(spark))
+    needles = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    total = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    overlap = (
+        sh.join(F.broadcast(needles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        total.join(overlap, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .withColumn("contaminated", 5 * F.col("n_overlap") >= F.col("n_grams"))
+    )
+
+
+SQL_CONTAMINATION_OVERLAP = f"""WITH corpus AS ({CORPUS_SQL}),{_SHINGLE_CTE},
+needles AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+ov AS (
+  SELECT sh.doc_id, count(*) AS n_overlap
+  FROM sh JOIN needles USING (shingle) GROUP BY sh.doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       5 * coalesce(ov.n_overlap, 0) >= t.n_grams AS contaminated
+FROM tot t LEFT JOIN ov ON t.doc_id = ov.doc_id
+"""
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_base_views(spark, sf_dir)
     return dedup_ngram_jaccard(spark)
@@ -1569,6 +1614,49 @@ GROUP BY 1, 2
 """
 
 
+def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EVENT-TIME window (RANGE frame, not ROWS): per event,
+    the sum of value-cents over the user's preceding hour. The frame is
+    keyed on epoch seconds (BIGINT) so ties and bounds are integer-
+    exact in both engines; ROWS-vs-RANGE matters exactly when multiple
+    events share a timestamp — the fixture has such ties, so the gate
+    distinguishes the semantics."""
+    from pyspark.sql import Window
+
+    ensure_base_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("sec").asc())
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("cents").over(w).cast("long").alias("hour_cents"),
+    )
+
+
+SQL_WINDOW_RANGE_TIME = """WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(cents) OVER (
+         PARTITION BY user_id ORDER BY sec ASC
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS hour_cents
+FROM e
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + cumulative sum of session
     breaks, gap > 1800 s) — J6/streaming-sessionization analog in batch."""
@@ -2211,6 +2299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
     "decontaminate_ac": q_decontaminate_ac,
+    "contamination_overlap": q_contamination_overlap,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
@@ -2233,6 +2322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_revenue": q_topk_revenue,
     "star_join_revenue": q_star_join_revenue,
     "window_running": q_window_running,
+    "window_range_time": q_window_range_time,
     "sessionize": q_sessionize,
     "stream_window_counts": q_stream_window_counts,
     "set_ops": q_set_ops,
@@ -2280,6 +2370,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "decontaminate": SQL_DECONTAMINATE,
     "decontaminate_ac": SQL_DECONTAMINATE_AC,
+    "contamination_overlap": SQL_CONTAMINATION_OVERLAP,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "simhash": SQL_SIMHASH,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
@@ -2302,6 +2393,7 @@ ORACLES: dict[str, str] = {
     "topk_revenue": SQL_TOPK_REVENUE,
     "star_join_revenue": SQL_STAR_JOIN_REVENUE,
     "window_running": SQL_WINDOW_RUNNING,
+    "window_range_time": SQL_WINDOW_RANGE_TIME,
     "sessionize": SQL_SESSIONIZE,
     "stream_window_counts": SQL_STREAM_WINDOW_COUNTS,
     "set_ops": SQL_SET_OPS,
