@@ -155,6 +155,26 @@ class GeocubeAccessor:
                 toi_epochs = [spec.time_epochs[i] for i in idxs]
         return self.load(roi, toi_epochs=toi_epochs, persist=persist)
 
+    def snapshots(self) -> list[dict]:
+        """Committed versions in commit order (icechunk commit-log
+        analog); each fill/compaction is a readable snapshot."""
+        from smart_geocubes_spark.plans.materialize import snapshots
+
+        return snapshots(self.path)
+
+    def read_snapshot(
+        self,
+        roi: BBox | list[BBox],
+        as_of_batch: str,
+        toi_epochs: list[int] | None = None,
+    ) -> DataFrame:
+        """TIME TRAVEL: the ROI exactly as it was visible when
+        ``as_of_batch`` committed. Read-only — never fills."""
+        self.assert_created()
+        return load_blocks(
+            self.spark, self.path, roi, toi_epochs, as_of_batch=as_of_batch
+        )
+
     def loaded_patches(self) -> list[str]:
         """The lineage chunk keys (reference zarr-attr list,
         core/accessor.py:155-166). NOTE: returns a driver-side list for

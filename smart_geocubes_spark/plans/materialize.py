@@ -388,11 +388,31 @@ def materialize(
         missing.unpersist()
 
 
+def snapshots(path: str) -> list[dict]:
+    """Committed snapshots in COMMIT order (the icechunk commit-log
+    analog: every fill or compaction commit is a readable version).
+    Each entry: {batch_id, committed_at} — commit time is the lineage
+    _SUCCESS marker's mtime. Vacuum sets the retention horizon: it
+    physically drops shadowed batches, so time travel reaches only as
+    far back as the last vacuum left intact."""
+    out = []
+    for b in _lineage_batches(path):
+        out.append(
+            {
+                "batch_id": os.path.basename(b).split("=", 1)[1],
+                "committed_at": os.path.getmtime(os.path.join(b, "_SUCCESS")),
+            }
+        )
+    out.sort(key=lambda r: (r["committed_at"], r["batch_id"]))
+    return out
+
+
 def load(
     spark: SparkSession,
     path: str,
     roi_bbox: tuple[float, float, float, float] | list[tuple[float, float, float, float]],
     toi_epochs: list[int] | None = None,
+    as_of_batch: str | None = None,
 ) -> DataFrame:
     """ROI read: materialize() first for the reference's full load()
     semantics; this is the scan+crop step (snapshot = committed lineage
@@ -405,8 +425,26 @@ def load(
     back to the requesting ROI(s) via a broadcast (tile_id, roi_idx)
     lookup — a tile covered by k ROIs returns k rows, one per ROI, so
     per-ROI consumers just filter. The lookup is bounded by the query
-    size (sum of ROI tile counts), never by the cube."""
+    size (sum of ROI tile counts), never by the cube.
+
+    ``as_of_batch``: TIME TRAVEL (icechunk snapshot read) — resolve
+    visibility against only the batches committed at-or-before that
+    batch's commit, i.e. the cube exactly as a reader saw it then.
+    Composes with compaction (a compacted batch commits LAST even
+    though its id sorts first, so historical as-of views are
+    unchanged); vacuum bounds how far back travel reaches."""
     spec = open_spec(path)
+    allowed: set[str] | None = None
+    if as_of_batch is not None:
+        snaps = snapshots(path)
+        by_id = {s["batch_id"]: s["committed_at"] for s in snaps}
+        if as_of_batch not in by_id:
+            raise ValueError(
+                f"unknown snapshot {as_of_batch!r}; committed: "
+                f"{[s['batch_id'] for s in snaps]}"
+            )
+        cut = by_id[as_of_batch]
+        allowed = {s["batch_id"] for s in snaps if s["committed_at"] <= cut}
     nx = spec.grid.n_tiles_x
     rois = roi_bbox if isinstance(roi_bbox, list) else None
     if rois is None:
@@ -421,6 +459,10 @@ def load(
         ]
         tile_ids = sorted({t for t, _ in roi_pairs})
     batches = _block_batches(path)
+    if allowed is not None:
+        batches = [
+            b for b in batches if os.path.basename(b).split("=", 1)[1] in allowed
+        ]
 
     def _with_roi_idx(out: DataFrame) -> DataFrame:
         if roi_pairs is None:
@@ -464,12 +506,10 @@ def load(
     # chunks at 100 TB) and force-broadcasting that would OOM; the
     # ROI-pruned set is bounded by the query size, so the broadcast is
     # safe. The tile_id IN filter is pushed to the lineage parquet scan.
-    lineage = (
-        read_lineage(spark, path)
-        .filter(F.col("tile_id").isin(tile_ids))
-        .select("chunk_key", "batch_id")
-        .distinct()
-    )
+    lineage = read_lineage(spark, path).filter(F.col("tile_id").isin(tile_ids))
+    if allowed is not None:
+        lineage = lineage.filter(F.col("batch_id").isin(sorted(allowed)))
+    lineage = lineage.select("chunk_key", "batch_id").distinct()
     w = Window.partitionBy("chunk_key").orderBy(F.col("batch_id").asc())
     winners = (
         lineage.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

@@ -103,6 +103,20 @@ def test_load_like_derives_toi(spark, tmp_path):
     assert sorted(r[0] for r in got.select("time_idx").distinct().collect()) == [0, 2]
 
 
+def test_snapshots_and_read_snapshot(spark, tmp_path):
+    """Accessor time travel: snapshots() lists commits in order and
+    read_snapshot() returns the historical view without filling."""
+    acc = arcticdem_like(spark, str(tmp_path / "adem"))
+    first = acc.load(ROI_POLAR, create=True)
+    roi2 = (-600_000.0, -1_300_000.0, -100_000.0, -800_000.0)
+    acc.load(roi2)
+    snaps = acc.snapshots()
+    assert len(snaps) == 2
+    old = acc.read_snapshot((-900_000.0, -1_600_000.0, 0.0, -700_000.0), snaps[0]["batch_id"])
+    assert old.count() == first.count()
+    assert acc.fill(ROI_POLAR)["written"] == 0  # read_snapshot never fills
+
+
 def test_load_like_foreign_time_idx_clamped(spark, tmp_path):
     """A ref frame carrying time_idx values past this cube's epoch axis
     (frame from a different/longer-axis cube) must not IndexError —

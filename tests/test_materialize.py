@@ -174,6 +174,52 @@ def test_fill_after_compact_survives_vacuum(spark, cube):
     assert load(spark, cube, new_roi).count() == m["written"]
 
 
+def test_time_travel_as_of_batch(spark, cube):
+    """Snapshot reads (icechunk time travel): as-of an old commit, only
+    that commit's state is visible; composes with compaction (the
+    compacted batch commits LAST even though its id sorts first, so
+    historical views are unchanged); vacuum bounds the horizon."""
+    import pytest as _pytest
+
+    from smart_geocubes_spark.plans.materialize import compact, snapshots, vacuum
+
+    big = (2.0, 14.0, 7.0, 18.0)
+    m1 = materialize(spark, cube, ROI_A)
+    m2 = materialize(spark, cube, ROI_B)
+    snaps = snapshots(cube)
+    assert [s["batch_id"] for s in snaps] == [m1["batch_id"], m2["batch_id"]]
+    v1 = _visible_state(spark, cube, big)
+    old = {
+        (r.chunk_key, r.mn)
+        for r in load(spark, cube, big, as_of_batch=m1["batch_id"])
+        .select("chunk_key", F.array_min("block").alias("mn"))
+        .collect()
+    }
+    assert len(old) == m1["written"] == 18
+    assert old < v1  # strictly the first fill's view
+    # latest snapshot == default read
+    assert {
+        (r.chunk_key, r.mn)
+        for r in load(spark, cube, big, as_of_batch=m2["batch_id"])
+        .select("chunk_key", F.array_min("block").alias("mn"))
+        .collect()
+    } == v1
+    # compaction commits last: historical as-of views unchanged
+    c = compact(spark, cube)
+    assert [s["batch_id"] for s in snapshots(cube)][-1] == c["batch_id"]
+    assert {
+        (r.chunk_key, r.mn)
+        for r in load(spark, cube, big, as_of_batch=m1["batch_id"])
+        .select("chunk_key", F.array_min("block").alias("mn"))
+        .collect()
+    } == old
+    # vacuum retires the shadowed batches -> horizon shrinks
+    vacuum(spark, cube, min_orphan_age_sec=0)
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        load(spark, cube, big, as_of_batch=m1["batch_id"])
+    assert _visible_state(spark, cube, big) == v1
+
+
 def test_compact_preserves_event_history(spark, cube):
     """Maintenance must not erase the append-only event log: compaction
     carries all committed events into the compacted batch, read_events
