@@ -31,10 +31,12 @@ from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
 from smart_geocubes_spark.plans.materialize import (
     CubeSpec,
     create_cube,
+    event_durations,
     load as load_blocks,
     materialize,
     open_spec,
     read_lineage,
+    snapshots as cube_snapshots,
 )
 
 BBox = tuple[float, float, float, float]
@@ -158,9 +160,7 @@ class GeocubeAccessor:
     def snapshots(self) -> list[dict]:
         """Committed versions in commit order (icechunk commit-log
         analog); each fill/compaction is a readable snapshot."""
-        from smart_geocubes_spark.plans.materialize import snapshots
-
-        return snapshots(self.path)
+        return cube_snapshots(self.path)
 
     def read_snapshot(
         self,
@@ -171,6 +171,8 @@ class GeocubeAccessor:
         """TIME TRAVEL: the ROI exactly as it was visible when
         ``as_of_batch`` committed. Read-only — never fills."""
         self.assert_created()
+        if toi_epochs is not None and self.spec.time_epochs is None:
+            raise ValueError("TOI given for an atemporal cube")
         return load_blocks(
             self.spark, self.path, roi, toi_epochs, as_of_batch=as_of_batch
         )
@@ -218,8 +220,6 @@ class GeocubeAccessor:
         rendered as ASCII bars — the *data* half is identical). Per-run
         bars from the run metrics, indented per-PARTITION bars (the
         reference's per-thread lanes) from the committed event log."""
-        from smart_geocubes_spark.plans.materialize import event_durations
-
         m = self.metrics()
         if m.empty:
             return "(no fill runs)"

@@ -35,18 +35,37 @@ def roi_tiles_df(
     return spark.createDataFrame(pdf)
 
 
+def _block_base(b: pd.DataFrame) -> np.ndarray:
+    """Per-chunk base value for an Arrow batch (THE synthetic block
+    formula — single definition shared by every zonal kernel so the
+    oracles cannot drift from the fixture)."""
+    off = b["channel"].map(CHANNEL_OFFSETS).fillna(0.0).to_numpy(dtype=np.float64)
+    return chunk_value_base(
+        b["tile_y"].to_numpy(dtype=np.float64),
+        b["tile_x"].to_numpy(dtype=np.float64),
+        off,
+    )
+
+
+def _candidates(
+    spark: SparkSession,
+    grid: TileGrid,
+    rois: list[tuple[float, float, float, float]],
+    channels: list[str],
+) -> DataFrame:
+    """ROI tiles x channels — shared candidate preamble."""
+    tiles = roi_tiles_df(spark, grid, rois)
+    ch = spark.createDataFrame(pd.DataFrame({"channel": channels}))
+    return tiles.crossJoin(F.broadcast(ch))
+
+
 def _gen(chunk_px: int):
     n_px = chunk_px * chunk_px
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ramp = np.arange(n_px, dtype=np.float64) * 0.5
         for b in batches:
-            off = b["channel"].map(CHANNEL_OFFSETS).fillna(0.0).to_numpy(dtype=np.float64)
-            base = chunk_value_base(
-                b["tile_y"].to_numpy(dtype=np.float64),
-                b["tile_x"].to_numpy(dtype=np.float64),
-                off,
-            )
+            base = _block_base(b)
             out = b[["tile_id", "tile_x", "tile_y", "channel"]].copy()
             out["block"] = list(base[:, None] + ramp[None, :])
             yield out
@@ -63,9 +82,7 @@ def _roi_blocks(
     """Shared preamble of the zonal operators: ROI tiles x channels ->
     block arrays (one Arrow hop; the synthetic stand-in for the
     object-store tile read)."""
-    tiles = roi_tiles_df(spark, grid, rois)
-    ch = spark.createDataFrame(pd.DataFrame({"channel": channels}))
-    cand = tiles.crossJoin(F.broadcast(ch))
+    cand = _candidates(spark, grid, rois, channels)
     return cand.mapInPandas(_gen(grid.chunk_px), schema=ZONAL_BLOCK_SCHEMA)
 
 
@@ -90,20 +107,13 @@ def pyramid_overview(
     instead of the synthesizer."""
     for lv in levels:
         assert grid.chunk_px % (1 << lv) == 0, "chunk_px must divide by 2^level"
-    tiles = roi_tiles_df(spark, grid, rois)
-    ch = spark.createDataFrame(pd.DataFrame({"channel": channels}))
-    cand = tiles.crossJoin(F.broadcast(ch))
+    cand = _candidates(spark, grid, rois, channels)
     W = grid.chunk_px
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ramp = np.arange(W * W, dtype=np.float64) * 0.5
         for b in batches:
-            off = b["channel"].map(CHANNEL_OFFSETS).fillna(0.0).to_numpy(dtype=np.float64)
-            base = chunk_value_base(
-                b["tile_y"].to_numpy(dtype=np.float64),
-                b["tile_x"].to_numpy(dtype=np.float64),
-                off,
-            )
+            base = _block_base(b)
             n = len(base)
             g = (base[:, None] + ramp[None, :]).reshape(n, W, W)
             out_frames = []

@@ -154,6 +154,42 @@ def _lineage_batches(path: str) -> list[str]:
     return out
 
 
+def _allocate_commit_seq(path: str, batch_id: str) -> int:
+    """Monotonic COMMIT COUNTER via O_EXCL file creation under
+    lineage/_commits: commit order must not depend on _SUCCESS mtimes
+    (coarse-granularity filesystems and cp/untar/object-store restores
+    produce equal or reordered mtimes, silently corrupting time-travel
+    views). Allocated immediately BEFORE the lineage write, so every
+    committed batch has a seq; a crash in between leaves a dangling
+    entry that snapshots() ignores and vacuum() reaps."""
+    d = os.path.join(path, "lineage", "_commits")
+    os.makedirs(d, exist_ok=True)
+    seq = 1 + max(
+        (int(f.split("=", 1)[0]) for f in os.listdir(d) if "=" in f), default=0
+    )
+    while True:
+        try:
+            fd = os.open(
+                os.path.join(d, f"{seq:010d}={batch_id}"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            return seq
+        except FileExistsError:  # concurrent committer took this seq
+            seq += 1
+
+
+def _commit_seqs(path: str) -> dict[str, int]:
+    d = os.path.join(path, "lineage", "_commits")
+    out: dict[str, int] = {}
+    if os.path.isdir(d):
+        for f in os.listdir(d):
+            if "=" in f:
+                s, bid = f.split("=", 1)
+                out[bid] = min(int(s), out.get(bid, 1 << 62))
+    return out
+
+
 def _block_batches(path: str) -> list[str]:
     """Committed block batch dirs (_SUCCESS present) — the one listing
     shared by load() and compact()."""
@@ -332,8 +368,10 @@ def materialize(
     try:
         n_missing = missing.count()
         if n_missing == 0:
+            # nothing committed under this id — returning it would hand
+            # the caller a batch_id that snapshots()/as_of reject
             return {
-                "batch_id": batch_id, "written": 0, "skipped": "all cached",
+                "batch_id": None, "written": 0, "skipped": "all cached",
                 "sec": time.time() - t0,
             }
 
@@ -371,6 +409,7 @@ def materialize(
             )
         )
         lin_dir = os.path.join(path, "lineage", f"batch={batch_id}")
+        _allocate_commit_seq(path, batch_id)  # commit-order ticket first
         lin.write.mode("overwrite").parquet(lin_dir)
 
         # per-run metrics (event-log analog, core/backend.py:23-28)
@@ -391,19 +430,29 @@ def materialize(
 def snapshots(path: str) -> list[dict]:
     """Committed snapshots in COMMIT order (the icechunk commit-log
     analog: every fill or compaction commit is a readable version).
-    Each entry: {batch_id, committed_at} — commit time is the lineage
-    _SUCCESS marker's mtime. Vacuum sets the retention horizon: it
-    physically drops shadowed batches, so time travel reaches only as
-    far back as the last vacuum left intact."""
+    Each entry: {batch_id, seq, committed_at}. Order comes from the
+    atomic commit counter (_allocate_commit_seq) — NEVER from mtimes,
+    which coarse filesystems and cp/untar restores make equal or
+    non-monotonic; mtime ordering survives only as the fallback for
+    pre-counter cubes (and then for the whole list, consistently).
+    Vacuum sets the retention horizon: it physically drops shadowed
+    batches, so time travel reaches only as far back as the last
+    vacuum left intact."""
+    seqs = _commit_seqs(path)
     out = []
     for b in _lineage_batches(path):
+        bid = os.path.basename(b).split("=", 1)[1]
         out.append(
             {
-                "batch_id": os.path.basename(b).split("=", 1)[1],
+                "batch_id": bid,
+                "seq": seqs.get(bid),
                 "committed_at": os.path.getmtime(os.path.join(b, "_SUCCESS")),
             }
         )
-    out.sort(key=lambda r: (r["committed_at"], r["batch_id"]))
+    if all(r["seq"] is not None for r in out):
+        out.sort(key=lambda r: r["seq"])
+    else:  # pre-counter cube: legacy mtime order for the WHOLE list
+        out.sort(key=lambda r: (r["committed_at"], r["batch_id"]))
     return out
 
 
@@ -436,15 +485,12 @@ def load(
     spec = open_spec(path)
     allowed: set[str] | None = None
     if as_of_batch is not None:
-        snaps = snapshots(path)
-        by_id = {s["batch_id"]: s["committed_at"] for s in snaps}
-        if as_of_batch not in by_id:
-            raise ValueError(
-                f"unknown snapshot {as_of_batch!r}; committed: "
-                f"{[s['batch_id'] for s in snaps]}"
-            )
-        cut = by_id[as_of_batch]
-        allowed = {s["batch_id"] for s in snaps if s["committed_at"] <= cut}
+        ids = [s["batch_id"] for s in snapshots(path)]
+        if as_of_batch not in ids:
+            raise ValueError(f"unknown snapshot {as_of_batch!r}; committed: {ids}")
+        # PREFIX of the commit order, inclusive — deterministic even if
+        # a legacy-ordered list carries mtime ties
+        allowed = set(ids[: ids.index(as_of_batch) + 1])
     nx = spec.grid.n_tiles_x
     rois = roi_bbox if isinstance(roi_bbox, list) else None
     if rois is None:
@@ -608,6 +654,7 @@ def compact(spark: SparkSession, path: str) -> dict:
         "chunk_key", "tile_id", "time_idx", "channel",
         "batch_id", "partition_id", "n_rows", "n_bytes",
     )
+    _allocate_commit_seq(path, new_id)  # compaction commits LAST in seq order
     new_lineage.write.mode("overwrite").parquet(
         os.path.join(path, "lineage", f"batch={new_id}")
     )  # <- the commit: from here the compacted batch wins every chunk
@@ -665,6 +712,7 @@ def vacuum(spark: SparkSession, path: str, min_orphan_age_sec: float = 86400.0) 
     )
     winning = {r["batch_id"] for r in covered.collect()}
     removed_shadowed = []
+    removed_bids = set()
     for b in sorted(committed):
         bid = b.split("=", 1)[1]
         if bid in winning:
@@ -674,4 +722,21 @@ def vacuum(spark: SparkSession, path: str, min_orphan_age_sec: float = 86400.0) 
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
         removed_shadowed.append(b)
+        removed_bids.add(bid)
+
+    # commit-counter hygiene: entries of removed batches, plus dangling
+    # allocations (crash between seq ticket and lineage write) past the
+    # same age guard
+    cdir = os.path.join(path, "lineage", "_commits")
+    live = {b.split("=", 1)[1] for b in committed} - removed_bids
+    if os.path.isdir(cdir):
+        for f in os.listdir(cdir):
+            if "=" not in f:
+                continue
+            bid = f.split("=", 1)[1]
+            p = os.path.join(cdir, f)
+            if bid in removed_bids or (
+                bid not in live and now - os.path.getmtime(p) >= min_orphan_age_sec
+            ):
+                os.unlink(p)
     return {"orphans_removed": removed_orphans, "shadowed_removed": removed_shadowed}

@@ -1616,23 +1616,28 @@ GROUP BY 1, 2
 
 def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing EVENT-TIME window (RANGE frame, not ROWS): per event,
-    the sum of value-cents over the user's preceding hour. The frame is
-    keyed on epoch seconds (BIGINT) so ties and bounds are integer-
-    exact in both engines; ROWS-vs-RANGE matters exactly when multiple
-    events share a timestamp — the fixture has such ties, so the gate
-    distinguishes the semantics."""
+    the sum of value-cents over the user's current + previous HOUR
+    BUCKET (order key = hour-floored epoch seconds, frame = 3600
+    preceding). The hour bucketing GUARANTEES per-user order-key ties
+    (426 tied (user, hour) groups at sf0.01 — raw timestamps are
+    globally unique in the fixture, so ordering on them would never
+    exercise peer-row semantics): under RANGE every peer in the same
+    bucket is in every peer's frame, which is exactly where a
+    ROWS-frame regression diverges and the gate catches it. Integer
+    seconds and cents keep both engines exact."""
     from pyspark.sql import Window
 
     ensure_base_views(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
     ev = spark.table("events").select(
         "event_id",
         "user_id",
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+        (sec - sec % 3600).alias("hsec"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("sec").asc())
+        .orderBy(F.col("hsec").asc())
         .rangeBetween(-3600, Window.currentRow)
     )
     return ev.select(
@@ -1644,13 +1649,13 @@ def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WINDOW_RANGE_TIME = """WITH e AS (
   SELECT event_id, user_id,
-         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec,
+         CAST(epoch_us(ts) // 1000000 // 3600 * 3600 AS BIGINT) AS hsec,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 )
 SELECT event_id, user_id,
        CAST(sum(cents) OVER (
-         PARTITION BY user_id ORDER BY sec ASC
+         PARTITION BY user_id ORDER BY hsec ASC
          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS hour_cents
 FROM e
