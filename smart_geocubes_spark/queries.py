@@ -1662,6 +1662,48 @@ FROM e
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 STATEFUL streaming through the driver gate: exact dedup
+    with watermark-bounded state (dropDuplicatesWithinWatermark). The
+    source dir carries every 5th page REPLAYED byte-identically in a
+    second file — a separate micro-batch under maxFilesPerTrigger=1 —
+    so the survivor is payload-deterministic and the post-stream table
+    equals the pages derivation exactly (rows+schema+hash). The
+    watermark delay exceeds the fixture's full epoch span so replays
+    are always inside the dedup horizon (the bounded-state eviction
+    behavior itself is pinned by tests/test_streaming.py)."""
+    import tempfile
+    import uuid as _uuid
+
+    from smart_geocubes_spark.streaming.pipeline import stream_dedup_within_watermark
+
+    ensure_base_views(spark, sf_dir)
+    pages = spark.sql(
+        f"SELECT page_id, host_id, warc_epoch FROM ({pages_sql('orders')})"
+    )
+    # two appends into ONE flat dir = two part files = two micro-batches
+    # under maxFilesPerTrigger=1; replays are byte-identical, so the
+    # output is order-independent
+    d = tempfile.mkdtemp(prefix="dedupstream_") + "/src"
+    pages.coalesce(1).write.mode("append").parquet(d)
+    pages.filter(F.col("page_id") % 5 == 0).coalesce(1).write.mode("append").parquet(d)
+    return stream_dedup_within_watermark(
+        spark,
+        d,
+        tempfile.mkdtemp(prefix="dedupstream_ckpt_"),
+        query_name=f"dedup_stream_{_uuid.uuid4().hex[:8]}",
+        delay="400 days",
+    )
+
+
+SQL_STREAM_DEDUP = f"""WITH pages AS ({pages_sql("orders")})
+SELECT CAST(page_id AS BIGINT) AS page_id,
+       CAST(host_id AS BIGINT) AS host_id,
+       CAST(warc_epoch AS BIGINT) AS warc_epoch
+FROM pages
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + cumulative sum of session
     breaks, gap > 1800 s) — J6/streaming-sessionization analog in batch."""
@@ -2330,6 +2372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_range_time": q_window_range_time,
     "sessionize": q_sessionize,
     "stream_window_counts": q_stream_window_counts,
+    "stream_dedup": q_stream_dedup,
     "set_ops": q_set_ops,
     "rollup_counts": q_rollup,
     "scalar_funcs": q_scalar_funcs,
@@ -2401,6 +2444,7 @@ ORACLES: dict[str, str] = {
     "window_range_time": SQL_WINDOW_RANGE_TIME,
     "sessionize": SQL_SESSIONIZE,
     "stream_window_counts": SQL_STREAM_WINDOW_COUNTS,
+    "stream_dedup": SQL_STREAM_DEDUP,
     "set_ops": SQL_SET_OPS,
     "rollup_counts": SQL_ROLLUP,
     "scalar_funcs": SQL_SCALAR_FUNCS,
