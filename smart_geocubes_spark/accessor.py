@@ -112,8 +112,8 @@ class GeocubeAccessor:
             except FileExistsError:
                 pass
         self.assert_created()
-        if toi_epochs is not None and self.spec.time_epochs is None:
-            raise ValueError("TOI given for an atemporal cube")
+        # TOI-on-atemporal raises in the shared plans layer
+        # (candidate_chunks / load_blocks) for every entry point
         self.fill(roi, toi_epochs)
         df = load_blocks(self.spark, self.path, roi, toi_epochs)
         return df.toPandas() if persist else df
@@ -171,8 +171,14 @@ class GeocubeAccessor:
         """TIME TRAVEL: the ROI exactly as it was visible when
         ``as_of_batch`` committed. Read-only — never fills."""
         self.assert_created()
-        if toi_epochs is not None and self.spec.time_epochs is None:
-            raise ValueError("TOI given for an atemporal cube")
+        if not isinstance(as_of_batch, str):
+            # an all-cached fill returns batch_id None; passing that
+            # through would silently disable time travel (live read)
+            raise ValueError(
+                f"as_of_batch must be a committed batch id, got {as_of_batch!r} "
+                "(an all-cached fill returns batch_id=None — use snapshots() "
+                "for the latest committed id)"
+            )
         return load_blocks(
             self.spark, self.path, roi, toi_epochs, as_of_batch=as_of_batch
         )

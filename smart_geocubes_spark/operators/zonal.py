@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smart_geocubes_spark.geo.geobox import TileGrid
-from smart_geocubes_spark.plans.materialize import CHANNEL_OFFSETS, chunk_value_base
+from smart_geocubes_spark.plans.materialize import block_base_values as _block_base
 
 ZONAL_BLOCK_SCHEMA = "tile_id long, tile_x long, tile_y long, channel string, block array<double>"
 
@@ -33,18 +33,6 @@ def roi_tiles_df(
     pdf = pd.DataFrame({"tile_x": tiles[:, 0], "tile_y": tiles[:, 1]})
     pdf["tile_id"] = pdf["tile_y"] * grid.n_tiles_x + pdf["tile_x"]
     return spark.createDataFrame(pdf)
-
-
-def _block_base(b: pd.DataFrame) -> np.ndarray:
-    """Per-chunk base value for an Arrow batch (THE synthetic block
-    formula — single definition shared by every zonal kernel so the
-    oracles cannot drift from the fixture)."""
-    off = b["channel"].map(CHANNEL_OFFSETS).fillna(0.0).to_numpy(dtype=np.float64)
-    return chunk_value_base(
-        b["tile_y"].to_numpy(dtype=np.float64),
-        b["tile_x"].to_numpy(dtype=np.float64),
-        off,
-    )
 
 
 def _candidates(

@@ -128,6 +128,19 @@ def chunk_value_base(tile_y: np.ndarray, tile_x: np.ndarray, channel_off: np.nda
 CHANNEL_OFFSETS = {"dem": 0.0, "slope": 500000.0}
 
 
+def block_base_values(b: pd.DataFrame) -> np.ndarray:
+    """Per-chunk base values for an Arrow batch — THE single definition
+    of the synthetic block formula. The fill kernel and every zonal
+    kernel call this; a second copy is an oracle drift waiting to
+    happen."""
+    off = b["channel"].map(CHANNEL_OFFSETS).fillna(0.0).to_numpy(dtype=np.float64)
+    return chunk_value_base(
+        b["tile_y"].to_numpy(dtype=np.float64),
+        b["tile_x"].to_numpy(dtype=np.float64),
+        off,
+    )
+
+
 def create_cube(path: str, spec: CubeSpec) -> None:
     """DDL: write grid/channel/time metadata + empty layout (reference
     ``create()``, ``core/accessor.py:206-296``). Idempotent-checked like
@@ -146,24 +159,62 @@ def open_spec(path: str) -> CubeSpec:
 
 
 def _lineage_batches(path: str) -> list[str]:
+    """Committed batch dirs: _SUCCESS present AND (when the cube has a
+    ticket dir) a commit ticket taken. The seq snapshot is read FIRST,
+    so a batch ticketing mid-listing is consistently excluded from this
+    read and appears atomically on the next one."""
+    seqs = _commit_seqs(path)
     ldir = os.path.join(path, "lineage")
     out = []
     for b in sorted(os.listdir(ldir)):
-        if os.path.exists(os.path.join(ldir, b, "_SUCCESS")):
-            out.append(os.path.join(ldir, b))
+        if not b.startswith("batch="):
+            continue
+        if not os.path.exists(os.path.join(ldir, b, "_SUCCESS")):
+            continue
+        if seqs is not None and b.split("=", 1)[1] not in seqs:
+            continue  # lineage landed but ticket not yet taken (or crashed)
+        out.append(os.path.join(ldir, b))
     return out
 
 
+def _commits_dir(path: str) -> str:
+    return os.path.join(path, "lineage", "_commits")
+
+
 def _allocate_commit_seq(path: str, batch_id: str) -> int:
-    """Monotonic COMMIT COUNTER via O_EXCL file creation under
-    lineage/_commits: commit order must not depend on _SUCCESS mtimes
+    """The COMMIT TICKET: an O_EXCL-created file under lineage/_commits
+    whose creation is the batch's atomic commit point — taken AFTER the
+    lineage parquet lands, so commit ORDER is completion order, sealed
+    the instant a reader can see the batch (a ticket taken before the
+    write would let a stalled fill retroactively insert itself under
+    already-read snapshots). Order never depends on _SUCCESS mtimes
     (coarse-granularity filesystems and cp/untar/object-store restores
-    produce equal or reordered mtimes, silently corrupting time-travel
-    views). Allocated immediately BEFORE the lineage write, so every
-    committed batch has a seq; a crash in between leaves a dangling
-    entry that snapshots() ignores and vacuum() reaps."""
-    d = os.path.join(path, "lineage", "_commits")
-    os.makedirs(d, exist_ok=True)
+    produce equal or reordered mtimes). A crash between the lineage
+    write and the ticket leaves an invisible orphan that the next fill
+    redoes and vacuum() reaps.
+
+    First allocation on a pre-ticket cube backfills tickets for its
+    existing committed batches in (mtime, batch_id) order — the legacy
+    ordering, frozen once."""
+    d = _commits_dir(path)
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        ldir = os.path.join(path, "lineage")
+        legacy = sorted(
+            (
+                (os.path.getmtime(os.path.join(ldir, b, "_SUCCESS")), b.split("=", 1)[1])
+                for b in os.listdir(ldir)
+                if b.startswith("batch=")
+                and os.path.exists(os.path.join(ldir, b, "_SUCCESS"))
+                and b.split("=", 1)[1] != batch_id  # the caller gets its own
+            ),
+        )
+        for _, bid in legacy:
+            _take_ticket(d, bid)
+    return _take_ticket(d, batch_id)
+
+
+def _take_ticket(d: str, batch_id: str) -> int:
     seq = 1 + max(
         (int(f.split("=", 1)[0]) for f in os.listdir(d) if "=" in f), default=0
     )
@@ -179,14 +230,17 @@ def _allocate_commit_seq(path: str, batch_id: str) -> int:
             seq += 1
 
 
-def _commit_seqs(path: str) -> dict[str, int]:
-    d = os.path.join(path, "lineage", "_commits")
+def _commit_seqs(path: str) -> dict[str, int] | None:
+    """batch_id -> seq, or None when the cube predates tickets (pure
+    legacy mode: _SUCCESS alone gates visibility, mtime orders)."""
+    d = _commits_dir(path)
+    if not os.path.isdir(d):
+        return None
     out: dict[str, int] = {}
-    if os.path.isdir(d):
-        for f in os.listdir(d):
-            if "=" in f:
-                s, bid = f.split("=", 1)
-                out[bid] = min(int(s), out.get(bid, 1 << 62))
+    for f in os.listdir(d):
+        if "=" in f:
+            s, bid = f.split("=", 1)
+            out[bid] = min(int(s), out.get(bid, 1 << 62))
     return out
 
 
@@ -268,6 +322,11 @@ def candidate_chunks(
     ``roi_bbox`` may be a LIST of bboxes — the reference's GeoDataFrame
     branch (``core/accessor.py:400-426``: a batch of query geometries):
     tile sets are unioned and deduped, so one fill covers them all."""
+    if toi_epochs is not None and spec.time_epochs is None:
+        # shared-layer guard (reference assert_temporal_cube): every
+        # entry point — fill, load, read_snapshot — must reject a TOI
+        # on an atemporal cube rather than silently ignore it
+        raise ValueError("TOI given for an atemporal cube")
     rois = roi_bbox if isinstance(roi_bbox, list) else [roi_bbox]
     tile_arrays = [spec.grid.tiles_overlapping_bbox(*r) for r in rois]
     tiles = np.unique(np.concatenate([t for t in tile_arrays if len(t)] or
@@ -310,12 +369,7 @@ def _gen_blocks_factory(chunk_px: int):
         ramp = np.arange(n_px, dtype=np.float64) * 0.5
         for b in batches:
             t0 = time.time_ns() // 1000
-            off = b["channel"].map(CHANNEL_OFFSETS).fillna(0.0).to_numpy(dtype=np.float64)
-            base = chunk_value_base(
-                b["tile_y"].to_numpy(dtype=np.float64),
-                b["tile_x"].to_numpy(dtype=np.float64),
-                off,
-            )
+            base = block_base_values(b)
             # time shift so temporal chunks differ per step
             base = base + np.where(b["time_idx"].to_numpy() >= 0, b["time_idx"].to_numpy() * 10.0, 0.0)
             blocks = base[:, None] + ramp[None, :]
@@ -409,8 +463,8 @@ def materialize(
             )
         )
         lin_dir = os.path.join(path, "lineage", f"batch={batch_id}")
-        _allocate_commit_seq(path, batch_id)  # commit-order ticket first
         lin.write.mode("overwrite").parquet(lin_dir)
+        _allocate_commit_seq(path, batch_id)  # THE commit point (atomic ticket)
 
         # per-run metrics (event-log analog, core/backend.py:23-28)
         metrics = {
@@ -438,7 +492,7 @@ def snapshots(path: str) -> list[dict]:
     Vacuum sets the retention horizon: it physically drops shadowed
     batches, so time travel reaches only as far back as the last
     vacuum left intact."""
-    seqs = _commit_seqs(path)
+    seqs = _commit_seqs(path) or {}
     out = []
     for b in _lineage_batches(path):
         bid = os.path.basename(b).split("=", 1)[1]
@@ -449,9 +503,9 @@ def snapshots(path: str) -> list[dict]:
                 "committed_at": os.path.getmtime(os.path.join(b, "_SUCCESS")),
             }
         )
-    if all(r["seq"] is not None for r in out):
+    if seqs:  # every committed batch has a ticket by construction
         out.sort(key=lambda r: r["seq"])
-    else:  # pre-counter cube: legacy mtime order for the WHOLE list
+    else:  # pre-ticket cube: legacy mtime order for the WHOLE list
         out.sort(key=lambda r: (r["committed_at"], r["batch_id"]))
     return out
 
@@ -483,6 +537,8 @@ def load(
     though its id sorts first, so historical as-of views are
     unchanged); vacuum bounds how far back travel reaches."""
     spec = open_spec(path)
+    if toi_epochs is not None and spec.time_epochs is None:
+        raise ValueError("TOI given for an atemporal cube")
     allowed: set[str] | None = None
     if as_of_batch is not None:
         ids = [s["batch_id"] for s in snapshots(path)]
@@ -654,10 +710,13 @@ def compact(spark: SparkSession, path: str) -> dict:
         "chunk_key", "tile_id", "time_idx", "channel",
         "batch_id", "partition_id", "n_rows", "n_bytes",
     )
-    _allocate_commit_seq(path, new_id)  # compaction commits LAST in seq order
     new_lineage.write.mode("overwrite").parquet(
         os.path.join(path, "lineage", f"batch={new_id}")
-    )  # <- the commit: from here the compacted batch wins every chunk
+    )
+    # THE commit point: until the ticket lands the compacted batch is an
+    # invisible orphan (readers keep the old view); compaction commits
+    # LAST in seq order
+    _allocate_commit_seq(path, new_id)
     n_chunks = winners.count()
     return {"batch_id": new_id, "chunks": int(n_chunks), "batches_covered": len(committed)}
 
@@ -724,10 +783,10 @@ def vacuum(spark: SparkSession, path: str, min_orphan_age_sec: float = 86400.0) 
         removed_shadowed.append(b)
         removed_bids.add(bid)
 
-    # commit-counter hygiene: entries of removed batches, plus dangling
-    # allocations (crash between seq ticket and lineage write) past the
-    # same age guard
-    cdir = os.path.join(path, "lineage", "_commits")
+    # commit-ticket hygiene: entries of removed batches, plus any
+    # dangling ticket whose lineage no longer exists, past the same
+    # age guard
+    cdir = _commits_dir(path)
     live = {b.split("=", 1)[1] for b in committed} - removed_bids
     if os.path.isdir(cdir):
         for f in os.listdir(cdir):

@@ -1669,11 +1669,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     second file — a separate micro-batch under maxFilesPerTrigger=1 —
     so the survivor is payload-deterministic and the post-stream table
     equals the pages derivation exactly (rows+schema+hash). The
-    watermark delay exceeds the fixture's full epoch span so replays
-    are always inside the dedup horizon (the bounded-state eviction
-    behavior itself is pinned by tests/test_streaming.py)."""
+    watermark delay (1500 days) exceeds the fixture's full epoch span
+    (_WARC_WRAP = 1461 days), so replays are always inside the dedup
+    horizon and no row can be dropped as late REGARDLESS of file
+    processing order (the bounded-state eviction behavior itself is
+    pinned by tests/test_streaming.py)."""
+    import shutil
     import tempfile
-    import uuid as _uuid
 
     from smart_geocubes_spark.streaming.pipeline import stream_dedup_within_watermark
 
@@ -1684,16 +1686,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two appends into ONE flat dir = two part files = two micro-batches
     # under maxFilesPerTrigger=1; replays are byte-identical, so the
     # output is order-independent
-    d = tempfile.mkdtemp(prefix="dedupstream_") + "/src"
+    root = tempfile.mkdtemp(prefix="dedupstream_")
+    d = root + "/src"
     pages.coalesce(1).write.mode("append").parquet(d)
     pages.filter(F.col("page_id") % 5 == 0).coalesce(1).write.mode("append").parquet(d)
-    return stream_dedup_within_watermark(
-        spark,
-        d,
-        tempfile.mkdtemp(prefix="dedupstream_ckpt_"),
-        query_name=f"dedup_stream_{_uuid.uuid4().hex[:8]}",
-        delay="400 days",
-    )
+    try:
+        # availableNow terminates, so a fixed sink name is safe and the
+        # memory table is replaced (not accumulated) across gate runs
+        return stream_dedup_within_watermark(
+            spark, d, root + "/ckpt", query_name="gate_stream_dedup",
+            delay="1500 days",
+        )
+    finally:
+        # the memory sink holds the rows driver-side; the source copy
+        # and checkpoint are dead weight once the drain finishes
+        shutil.rmtree(root, ignore_errors=True)
 
 
 SQL_STREAM_DEDUP = f"""WITH pages AS ({pages_sql("orders")})
