@@ -26,7 +26,7 @@ truncated near (+2000 ids) duplicates — same CTE in engine and oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # production default 16 hashes / 8 bands (2 rows per band): the recall
@@ -339,3 +339,49 @@ def simhash_signatures(spark: SparkSession, n_bits: int = 16) -> DataFrame:
         ).cast("long").alias("simhash"),
     )
     return sig
+
+
+def prefix_superseded(
+    docs: DataFrame, key_col: str = "dedup_key", bucket_chars: int = 4
+) -> DataFrame:
+    """Sort-neighbor prefix dedup: flag docs whose key is a prefix of
+    the next key in sorted order.
+
+    The O(n log n) alternative to an O(n^2) containment self-join: sort
+    all keys; a key x is a (proper or equal) prefix of SOME other key
+    iff it is a prefix of its IMMEDIATE successor, because every string
+    z with x < z < x+suffix must itself start with x (strings between a
+    string and any of its extensions share that prefix). Equal keys
+    dedup as a byproduct: all but the last (key, doc_id)-ordered row of
+    an equal-key group see an equal successor and are flagged.
+
+    Scale: a single global sort would be a one-partition window — so
+    the window partitions by the first ``bucket_chars`` characters of
+    the key instead.  That is EXACT, not approximate, provided every
+    key is at least ``bucket_chars`` long (caller contract, asserted
+    per-row): an extension of x shares x's first ``bucket_chars``
+    chars, so prefix pairs never straddle buckets, and cross-bucket
+    successors can never be extensions.  At 100 TB this is a plain
+    hash-shuffle on the bucket + per-bucket sort; no global ordering
+    structure is ever built.
+    """
+    key = F.col(key_col)
+    bucket = F.substring(key, 1, bucket_chars)
+    # guard the exactness contract: a key shorter than the bucket width
+    # could have extensions in other buckets -> silent false negatives.
+    guarded = F.when(F.length(key) >= bucket_chars, key).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"prefix_superseded: key shorter than bucket_chars={bucket_chars}: "),
+                key,
+            )
+        )
+    )
+    w = Window.partitionBy(bucket).orderBy(key_col, "doc_id")
+    nxt = F.lead(guarded).over(w)
+    superseded = nxt.isNotNull() & (F.substring(nxt, 1, F.length(key).cast("int")) == key)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(key).cast("long").alias("key_len"),
+        superseded.cast("long").alias("is_superseded"),
+    )

@@ -1,0 +1,75 @@
+"""Distinct-count sketches with integer-deterministic state.
+
+KMV (k-minimum-values, a.k.a. bottom-k) over a Knuth-multiplicative
+hash: the sketch state is the k smallest distinct hash values — pure
+BIGINTs, so unlike HyperLogLog's harmonic mean (an order-dependent
+double sum) the whole sketch AND its estimate are bit-reproducible and
+exactly oracle-able in DuckDB.
+
+Estimate: for k minima over a hash space of size M, the classic KMV
+estimator is (k-1) * M / h_(k).  Exactness of the floor: the numerator
+(k-1)*M fits in 2^53 so the double cast is exact; the quotient is a
+few thousand, whose ulp (~2^-41) is far below the smallest possible
+non-zero fractional part, so floor() can only be "off" on an exact
+division — which IEEE computes exactly.
+
+Scale shape: distinct() is one hash-shuffle on the hash value;
+``orderBy(h).limit(k)`` is TakeOrdered — per-partition bottom-k heaps
+merged on the driver (k rows), NOT a global sort.  Sketch states from
+shards merge by union + bottom-k, the standard mergeable-summary
+property, so this shape survives any fan-in tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_MULT = 2654435761  # Knuth multiplicative constant, shared with oracles
+HASH_SPACE = 2147483648  # 2^31
+
+# ONE expression string evaluated by both engines (oracle interpolates it
+# verbatim) so the double division tree is identical.  greatest(h_k, 1):
+# h(0) = 0, and floor(x/0.0) = floor(inf) would throw on the BIGINT cast
+# under ANSI (CLAUDE.md zero-denominator rule).
+KMV_EST_EXPR = (
+    "CAST(floor(CAST((n_kept - 1) * CAST(2147483648 AS BIGINT) AS DOUBLE)"
+    " / CAST(greatest(h_k, CAST(1 AS BIGINT)) AS DOUBLE)) AS BIGINT)"
+)
+
+
+def kmv_bottom_k(values: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """KMV sketch over the BIGINT column ``col``.
+
+    Returns exactly min(k, n_distinct) rows:
+    (rank, hval, est_distinct) — est_distinct is the (k-1)*M/h_(k)
+    estimate computed from the largest retained hash, constant across
+    rows.  The input value must be NON-NEGATIVE (Spark and DuckDB both
+    give sign-of-dividend remainders, so negatives would still agree,
+    but the estimator assumes hashes uniform on [0, M)) and small
+    enough that value*HASH_MULT fits int64 (caller reduces first —
+    ANSI mode throws on overflow, which is the guard we want at scale).
+    """
+    from pyspark.sql import Window
+
+    h = (F.col(col) * F.lit(HASH_MULT)) % F.lit(HASH_SPACE)
+    mins = (
+        values.select(h.cast("long").alias("hval"))
+        .distinct()
+        .orderBy("hval")
+        .limit(k)
+    )
+    # k rows max: the window + the max-scalar cross join are driver-trivial
+    mins = mins.localCheckpoint(eager=True)  # feeds two subtrees below
+    kth = mins.agg(
+        F.max("hval").alias("h_k"), F.count("*").cast("long").alias("n_kept")
+    )
+    w = Window.orderBy("hval")
+    return (
+        mins.crossJoin(F.broadcast(kth))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "hval",
+            F.expr(KMV_EST_EXPR).alias("est_distinct"),
+        )
+    )

@@ -2329,6 +2329,252 @@ GROUP BY 1
 # registry
 # ---------------------------------------------------------------------------
 
+def q_host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document quota (domain capping): keep at most 40 pages
+    per host, selected by a deterministic Knuth-hash coin on page_id
+    (reproducible "random" sample, no rand()). The host-balancing op
+    every crawl corpus applies before training. One window = one
+    shuffle on host_id; skewed hosts are bounded by the quota itself —
+    the per-group state row_number carries is O(1)."""
+    from pyspark.sql import Window
+
+    ensure_base_views(spark, sf_dir)
+    pages = spark.sql(pages_sql("orders"))
+    coin = ((F.col("page_id") % F.lit(1048576)) * F.lit(2654435761)) % F.lit(4096)
+    p = pages.select("page_id", "host_id").withColumn("coin", coin)
+    w = Window.partitionBy("host_id").orderBy("coin", "page_id")
+    wc = Window.partitionBy("host_id")
+    ranked = p.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_total", F.count("*").over(wc)
+    )
+    return (
+        ranked.filter(F.col("rn") <= 40)
+        .groupBy("host_id")
+        .agg(
+            F.max("n_total").cast("long").alias("n_total"),
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("page_id").cast("long").alias("kept_sum"),
+        )
+    )
+
+
+SQL_HOST_QUOTA_SAMPLE = f"""WITH pages AS ({pages_sql("orders")}),
+r AS (
+  SELECT host_id, page_id,
+         row_number() OVER (
+           PARTITION BY host_id
+           ORDER BY ((page_id % 1048576) * 2654435761) % 4096, page_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY host_id) AS n_total
+  FROM pages
+)
+SELECT host_id,
+       CAST(max(n_total) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(page_id) AS BIGINT) AS kept_sum
+FROM r WHERE rn <= 40
+GROUP BY host_id
+"""
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank rounds over the host->host link graph in scaled
+    BIGINT fixed point (operators/graph.py docstring has the exactness
+    proof). Host ranking is the web-corpus prioritization op the
+    reference's geospatial scope stops short of; the join-per-round
+    shape is the standard Pregel-as-DataFrames plan."""
+    from smart_geocubes_spark.operators.graph import host_link_edges, pagerank_fixed_point
+
+    ensure_base_views(spark, sf_dir)
+    pages = spark.sql(pages_sql("orders"))
+    return pagerank_fixed_point(host_link_edges(pages), n_iter=2)
+
+
+def _pagerank_oracle_sql(n_iter: int = 2) -> str:
+    """Unrolled-CTE replay of pagerank_fixed_point: the per-step
+    expressions are interpolated from the SAME constants the operator
+    evaluates, so the fixed-point arithmetic cannot drift."""
+    from smart_geocubes_spark.operators.graph import (
+        CONTRIB_EXPR,
+        DAMP_EXPR,
+        N_HOSTS,
+        PR_SCALE,
+    )
+
+    ctes = [
+        f"""edges AS (
+  SELECT DISTINCT host_id AS src, h2 % {N_HOSTS} AS dst
+  FROM pages WHERE host_id <> h2 % {N_HOSTS}
+), outdeg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+), indeg AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS indeg FROM edges GROUP BY dst
+), nodes AS (
+  SELECT DISTINCT src AS host_id FROM edges
+  UNION
+  SELECT DISTINCT dst AS host_id FROM edges
+), pr0 AS (
+  SELECT host_id, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes
+)"""
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""m{i} AS (
+  SELECT e.dst AS host_id, CAST(SUM({CONTRIB_EXPR}) AS BIGINT) AS mass
+  FROM edges e
+  JOIN pr{i} p ON e.src = p.host_id
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+), mm{i} AS (
+  SELECT n.host_id, CAST(COALESCE(m.mass, 0) AS BIGINT) AS mass
+  FROM nodes n LEFT JOIN m{i} m ON n.host_id = m.host_id
+), pr{i + 1} AS (
+  SELECT host_id, CAST({DAMP_EXPR} AS BIGINT) AS pr FROM mm{i}
+)"""
+        )
+    return (
+        f"{ORACLE_PREFIX}, "
+        + ", ".join(ctes)
+        + f"""
+SELECT p.host_id, p.pr AS pr_scaled,
+       CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdeg,
+       CAST(COALESCE(i.indeg, 0) AS BIGINT) AS indeg
+FROM pr{n_iter} p
+LEFT JOIN outdeg o ON p.host_id = o.src
+LEFT JOIN indeg i ON p.host_id = i.dst
+"""
+    )
+
+
+def q_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-neighbor prefix dedup over documents: dedup key = the first
+    8 + doc_id % 24 chars of the text (varying lengths force real
+    prefix containments in the fixture — 65/500 docs flagged at
+    sf0.01, so both branches are exercised). See
+    operators/dedup.py:prefix_superseded for the sortedness lemma and
+    the bucket-partition exactness contract."""
+    from smart_geocubes_spark.operators.dedup import prefix_superseded
+
+    ensure_base_views(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id",
+        F.expr("substring(text, 1, CAST(8 + doc_id % 24 AS INT))").alias("dedup_key"),
+    )
+    return prefix_superseded(d, key_col="dedup_key", bucket_chars=4)
+
+
+SQL_PREFIX_DUP = """WITH k AS (
+  SELECT doc_id, substr(text, 1, CAST(8 + doc_id % 24 AS INT)) AS key
+  FROM documents
+), s AS (
+  SELECT doc_id, key,
+         lead(key) OVER (PARTITION BY substr(key, 1, 4) ORDER BY key, doc_id) AS nxt
+  FROM k
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(key) AS BIGINT) AS key_len,
+       CAST(CASE WHEN nxt IS NOT NULL
+                  AND substr(nxt, 1, CAST(length(key) AS INT)) = key
+            THEN 1 ELSE 0 END AS BIGINT) AS is_superseded
+FROM s
+"""
+
+
+BM25_TERMS = ["spark", "join", "window"]
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by rational-idf BM25 for a fixed seed query
+    (operators/relevance.py docstring explains why this float IS
+    exactly oracle-able). Retrieval-scored corpus mixing, TakeOrdered
+    top-k — never a global-order window."""
+    from smart_geocubes_spark.operators.relevance import bm25_topk
+
+    ensure_base_views(spark, sf_dir)
+    return bm25_topk(spark.table("documents"), BM25_TERMS, k=20)
+
+
+def _bm25_oracle_sql(terms: list[str]) -> str:
+    from smart_geocubes_spark.operators.relevance import bm25_score_expr
+
+    tf_cols = ",\n    ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    tf_out = ", ".join(f"CAST(tf_{t} AS BIGINT) AS tf_{t}" for t in terms)
+    return f"""WITH feat AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+    {tf_cols}
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+    {df_cols}
+  FROM feat
+), scored AS (
+  SELECT f.*, {bm25_score_expr(terms)} AS score
+  FROM feat f CROSS JOIN stats
+), top AS (
+  SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score, dl, {tf_out}
+FROM top
+"""
+
+
+# cell id from e5 coords: floor-degree grid, shifted non-negative. The
+# floor(double/1e5) is exact for |e5| < 2^53 (see operators/graph.py
+# exactness note); DIV/% are NOT used because Spark truncates toward
+# zero while DuckDB floors on negatives.
+KMV_CELL_EXPR = (
+    "((CAST(floor(CAST(lat_e5 AS DOUBLE) / CAST(100000 AS DOUBLE)) AS BIGINT) + 90)"
+    " * 3600 + "
+    "(CAST(floor(CAST(lon_e5 AS DOUBLE) / CAST(100000 AS DOUBLE)) AS BIGINT) + 180))"
+)
+
+
+def q_kmv_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch over the geo-cell ids of
+    all geotagged pages: the k=64 smallest distinct hash values plus
+    the (k-1)*M/h_k estimate — integer-deterministic sketch state,
+    unlike HLL's double harmonic mean (operators/sketches.py)."""
+    from smart_geocubes_spark.operators.sketches import kmv_bottom_k
+
+    ensure_base_views(spark, sf_dir)
+    pages = spark.sql(pages_sql("orders"))
+    cells = pages.filter(F.col("has_geo")).select(F.expr(KMV_CELL_EXPR).alias("cell"))
+    return kmv_bottom_k(cells, "cell", k=64)
+
+
+def _kmv_oracle_sql() -> str:
+    from smart_geocubes_spark.operators.sketches import (
+        HASH_MULT,
+        HASH_SPACE,
+        KMV_EST_EXPR,
+    )
+
+    return f"""{ORACLE_PREFIX},
+h AS (
+  SELECT DISTINCT ({KMV_CELL_EXPR} * {HASH_MULT}) % {HASH_SPACE} AS hval
+  FROM pages WHERE has_geo
+), mins AS (
+  SELECT hval FROM h ORDER BY hval LIMIT 64
+), kth AS (
+  SELECT max(hval) AS h_k, CAST(count(*) AS BIGINT) AS n_kept FROM mins
+)
+SELECT CAST(row_number() OVER (ORDER BY hval) AS BIGINT) AS rank,
+       CAST(hval AS BIGINT) AS hval,
+       {KMV_EST_EXPR} AS est_distinct
+FROM mins CROSS JOIN kth
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -2399,9 +2645,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_resize": q_image_resize,
     "audio_features": q_audio_features,
     "video_frame_sample": q_video_frames,
+    "host_quota_sample": q_host_quota_sample,
+    "pagerank_hosts": q_pagerank_hosts,
+    "prefix_dup": q_prefix_dup,
+    "bm25_rank": q_bm25_rank,
+    "kmv_distinct_cells": q_kmv_distinct_cells,
 }
 
 ORACLES: dict[str, str] = {
+    "host_quota_sample": SQL_HOST_QUOTA_SAMPLE,
+    "pagerank_hosts": _pagerank_oracle_sql(2),
+    "prefix_dup": SQL_PREFIX_DUP,
+    "bm25_rank": _bm25_oracle_sql(BM25_TERMS),
+    "kmv_distinct_cells": _kmv_oracle_sql(),
     "geoparse": SQL_GEOPARSE,
     "extract_text": SQL_EXTRACT_TEXT,
     "tile_assign": SQL_TILE_ASSIGN,

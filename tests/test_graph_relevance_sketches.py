@@ -1,0 +1,157 @@
+"""Unit tests for the round-3 additions: fixed-point PageRank,
+sort-neighbor prefix dedup, KMV sketches, rational-idf BM25.
+
+The oracle parity gate (test_oracle_parity.py) checks these against
+DuckDB on the fixture tables; the tests here pin hand-computed values
+and the algebraic properties the fixtures can't isolate (dangling
+nodes, merge law, the short-key guard, exact tie semantics).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_geocubes_spark.operators.dedup import prefix_superseded
+from smart_geocubes_spark.operators.graph import pagerank_fixed_point
+from smart_geocubes_spark.operators.relevance import bm25_topk
+from smart_geocubes_spark.operators.sketches import kmv_bottom_k
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(s), int(d)) for s, d in pairs], "src long, dst long"
+    )
+
+
+class TestPagerankFixedPoint:
+    def test_hand_computed_three_nodes(self, spark):
+        # 0->{1,2}, 1->{0}, 2->{0,1}; two rounds of scaled fixed point,
+        # every floor() replayed by hand (see values in-line).
+        out = pagerank_fixed_point(
+            _edges(spark, [(0, 1), (0, 2), (1, 0), (2, 0), (2, 1)]), n_iter=2
+        )
+        got = {r["host_id"]: r for r in out.collect()}
+        assert got[0]["pr_scaled"] == 1_244_375_000  # .15 + .85*1_287_500_000
+        assert got[1]["pr_scaled"] == 1_000_000_000
+        assert got[2]["pr_scaled"] == 755_625_000
+        assert (got[0]["outdeg"], got[0]["indeg"]) == (2, 2)
+        assert (got[1]["outdeg"], got[1]["indeg"]) == (1, 2)
+        assert (got[2]["outdeg"], got[2]["indeg"]) == (2, 1)
+
+    def test_dangling_node_keeps_teleport_only(self, spark):
+        # 1 has no out-edges (dangling): it receives mass but emits
+        # none; 0 receives nothing and holds the bare teleport term.
+        out = pagerank_fixed_point(_edges(spark, [(0, 1)]), n_iter=2)
+        got = {r["host_id"]: r["pr_scaled"] for r in out.collect()}
+        assert got[0] == 150_000_000
+        assert got[1] == 150_000_000 + 127_500_000  # .85 * floor(pr1(0)/1)
+
+    def test_mass_never_negative_and_bounded(self, spark):
+        out = pagerank_fixed_point(
+            _edges(spark, [(i, (i + 1) % 7) for i in range(7)]), n_iter=3
+        ).collect()
+        for r in out:
+            assert 150_000_000 <= r["pr_scaled"] <= 7 * 1_000_000_000
+
+
+class TestPrefixSuperseded:
+    def _df(self, spark, keys):
+        return spark.createDataFrame(
+            [(i, k) for i, k in enumerate(keys)], "doc_id long, dedup_key string"
+        )
+
+    def test_prefix_equal_and_unrelated(self, spark):
+        # 'ab'<-prefix of 'abc'; 'abc' NOT a prefix of 'abd';
+        # equal keys flag all but the last (doc_id order).
+        out = prefix_superseded(
+            self._df(spark, ["abxx", "abxxc", "abxxd", "zzzz", "zzzz"]),
+            bucket_chars=4,
+        )
+        got = {r["doc_id"]: r["is_superseded"] for r in out.collect()}
+        assert got == {0: 1, 1: 0, 2: 0, 3: 1, 4: 0}
+
+    def test_cross_bucket_extension_impossible(self, spark):
+        # keys in different buckets are never prefix-related when every
+        # key >= bucket_chars: 'aaaa' vs 'aaab...' differ within the
+        # bucket prefix, so both survive.
+        out = prefix_superseded(self._df(spark, ["aaaa", "aaabzz"]), bucket_chars=4)
+        assert {r["is_superseded"] for r in out.collect()} == {0}
+
+    def test_short_key_raises(self, spark):
+        df = self._df(spark, ["abc", "abcd"])  # 'abc' shorter than bucket
+        with pytest.raises(Exception, match="shorter than bucket_chars"):
+            prefix_superseded(df, bucket_chars=4).collect()
+
+
+class TestKMV:
+    def _vals(self, spark, it):
+        return spark.createDataFrame([(int(v),) for v in it], "v long")
+
+    def test_estimate_brackets_truth(self, spark):
+        out = kmv_bottom_k(self._vals(spark, range(1000)), "v", k=64).collect()
+        assert len(out) == 64
+        assert [r["rank"] for r in out] == list(range(1, 65))
+        est = out[0]["est_distinct"]
+        # KMV relative error ~ 1/sqrt(k) = 12.5%; allow 3 sigma
+        assert 600 < est < 1600
+        assert all(r["est_distinct"] == est for r in out)
+
+    def test_merge_law_union_equals_merged_sketches(self, spark):
+        # mergeable-summary property: bottom-k of the union == bottom-k
+        # of the two shard sketches' union (what a fan-in tree computes)
+        a, b = range(0, 700), range(500, 1200)
+        direct = kmv_bottom_k(self._vals(spark, list(a) + list(b)), "v", k=64)
+        sk_a = kmv_bottom_k(self._vals(spark, a), "v", k=64).select("hval")
+        sk_b = kmv_bottom_k(self._vals(spark, b), "v", k=64).select("hval")
+        merged = kmv_bottom_k(
+            sk_a.union(sk_b).select(F.col("hval").alias("v")), "v", k=64
+        )
+        # re-hashing inside the merge call changes hvals, so merge on the
+        # raw sketch values instead: compare the direct sketch's hvals to
+        # bottom-64 of the unioned shard hvals.
+        direct_h = [r["hval"] for r in direct.select("hval").collect()]
+        union_h = sorted(
+            {r["hval"] for r in sk_a.union(sk_b).distinct().collect()}
+        )[:64]
+        assert sorted(direct_h) == union_h
+        assert merged.count() == 64  # and the merged frame is well-formed
+
+    def test_fewer_distinct_than_k(self, spark):
+        out = kmv_bottom_k(self._vals(spark, [1, 2, 2, 3]), "v", k=64).collect()
+        assert len(out) == 3
+        assert all(r["est_distinct"] >= 1 for r in out)
+
+
+class TestBM25:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_tf_monotone_and_zero_score(self, spark):
+        docs = self._docs(
+            spark,
+            [
+                "spark spark spark pad",  # highest tf, same dl
+                "spark pad pad pad",
+                "pad pad pad pad",  # no term: score exactly 0
+            ],
+        )
+        rows = bm25_topk(docs, ["spark"], k=3).collect()
+        assert [r["doc_id"] for r in rows] == [0, 1, 2]
+        assert rows[0]["score"] > rows[1]["score"] > rows[2]["score"]
+        assert rows[2]["score"] == 0.0
+
+    def test_length_normalization_penalizes_long_doc(self, spark):
+        docs = self._docs(spark, ["spark x", "spark " + "x " * 40 + "y"])
+        rows = bm25_topk(docs, ["spark"], k=2).collect()
+        assert rows[0]["doc_id"] == 0  # same tf, shorter doc wins
+        assert rows[0]["dl"] < rows[1]["dl"]
+
+    def test_multi_term_sum_and_tie_break(self, spark):
+        docs = self._docs(spark, ["spark join a", "spark join a", "join b c"])
+        rows = bm25_topk(docs, ["spark", "join"], k=3).collect()
+        # identical docs tie exactly (bit-equal doubles) -> doc_id order
+        assert [r["doc_id"] for r in rows] == [0, 1, 2]
+        assert rows[0]["score"] == rows[1]["score"]

@@ -341,3 +341,48 @@ def test_runtime_bloom_filter_prunes_big_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_host_quota_single_shuffle(spark):
+    """Quota sampling = ONE shuffle on host_id: both windows and the
+    final agg share the partitioning, so Catalyst must not insert a
+    second exchange."""
+    from smart_geocubes_spark.queries import q_host_quota_sample
+
+    plan = plan_of(q_host_quota_sample(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_prefix_dup_bucketed_window_no_global_sort(spark):
+    """Sort-neighbor dedup must partition the window by the key bucket:
+    a global-order window (SinglePartition exchange) would funnel the
+    corpus through one task at 100 TB."""
+    from smart_geocubes_spark.queries import q_prefix_dup
+
+    plan = plan_of(q_prefix_dup(spark, SF))
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # O(n log n) by sorting, never a self-join
+
+
+def test_pagerank_rounds_are_hash_joins(spark):
+    """Pregel-as-joins: every per-round join must be hash (broadcast at
+    fixture scale, shuffled-hash/SMJ at web scale) — a nested loop over
+    the edge set would be O(E*V)."""
+    from smart_geocubes_spark.queries import q_pagerank_hosts
+
+    plan = plan_of(q_pagerank_hosts(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """Top-k must be per-partition heaps (TakeOrderedAndProject), never
+    a global sort; the only broadcast-nested-loop is the 1-row stats
+    cross join."""
+    from smart_geocubes_spark.queries import q_bm25_rank
+
+    plan = plan_of(q_bm25_rank(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan  # scoring is all JVM higher-order fns
