@@ -36,21 +36,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# host universe size in the synthetic pages derivation (host_id = h1 % 50,
-# sources/synth.py pages_sql); the link target uses the independent h2 hash.
-N_HOSTS = 50
+# host universe size: ONE constant, owned by the pages derivation
+# (sources/synth.py interpolates it into host_id = h1 % N_HOSTS); the
+# link target uses the independent h2 hash over the same universe.
+from smart_geocubes_spark.sources.synth import N_HOSTS  # noqa: E402
 
+DAMPING = 0.85  # the single damping parameter; everything below derives
 PR_SCALE = 1_000_000_000  # fixed-point 1.0
-DAMPING_NUM = 850_000_000  # 0.85 * PR_SCALE, for the teleport term
-TELEPORT = PR_SCALE - DAMPING_NUM  # 0.15 * PR_SCALE
+DAMPING_NUM = int(DAMPING * PR_SCALE)
+TELEPORT = PR_SCALE - DAMPING_NUM  # (1 - DAMPING) * PR_SCALE
 
 # ONE expression string per fixed-point step, shared verbatim with the
 # DuckDB oracle (queries.py interpolates these) so the double trees are
-# identical in both engines.
+# identical in both engines.  The damping literal is repr()-interpolated
+# from DAMPING so the teleport term and the multiplier cannot drift.
 CONTRIB_EXPR = "CAST(floor(CAST(pr AS DOUBLE) / CAST(outdeg AS DOUBLE)) AS BIGINT)"
 DAMP_EXPR = (
     f"CAST({TELEPORT} AS BIGINT) + "
-    "CAST(floor(CAST(0.85 AS DOUBLE) * CAST(mass AS DOUBLE)) AS BIGINT)"
+    f"CAST(floor(CAST({DAMPING!r} AS DOUBLE) * CAST(mass AS DOUBLE)) AS BIGINT)"
 )
 
 
@@ -83,13 +86,20 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     the oracle's unrolled CTEs replay.
     """
     # edges feed every round AND the degree tables: checkpoint once.
+    # nodes/outdeg feed every round too (CLAUDE.md rule: 2+ consumers ->
+    # checkpoint, never recompute the distinct/groupBy shuffle per round).
     edges = edges.localCheckpoint(eager=True)
-    outdeg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("long").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     indeg = edges.groupBy("dst").agg(F.count("*").cast("long").alias("indeg"))
     nodes = (
         edges.select(F.col("src").alias("host_id"))
         .union(edges.select(F.col("dst").alias("host_id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     pr = nodes.withColumn("pr", F.lit(PR_SCALE).cast("long"))
     for _ in range(n_iter):

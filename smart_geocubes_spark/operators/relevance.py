@@ -68,6 +68,8 @@ def bm25_score_expr(terms: list[str]) -> str:
     same way in both engines so the double trees are identical; term
     contributions are summed left-associatively in ``terms`` order.
     """
+    if not terms:
+        raise ValueError("bm25: terms must be non-empty")
     avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
     parts = []
     for t in terms:

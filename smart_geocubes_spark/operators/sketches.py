@@ -28,14 +28,21 @@ from pyspark.sql import functions as F
 HASH_MULT = 2654435761  # Knuth multiplicative constant, shared with oracles
 HASH_SPACE = 2147483648  # 2^31
 
-# ONE expression string evaluated by both engines (oracle interpolates it
-# verbatim) so the double division tree is identical.  greatest(h_k, 1):
-# h(0) = 0, and floor(x/0.0) = floor(inf) would throw on the BIGINT cast
-# under ANSI (CLAUDE.md zero-denominator rule).
-KMV_EST_EXPR = (
-    "CAST(floor(CAST((n_kept - 1) * CAST(2147483648 AS BIGINT) AS DOUBLE)"
-    " / CAST(greatest(h_k, CAST(1 AS BIGINT)) AS DOUBLE)) AS BIGINT)"
-)
+def kmv_est_expr(k: int) -> str:
+    """ONE expression string evaluated by both engines (the oracle
+    interpolates it verbatim) so the double division tree is identical.
+
+    Underfull sketch (n_kept < k): every distinct hash was retained, so
+    the exact count n_kept IS the answer — extrapolating would undercount
+    (e.g. 3 distinct values would report floor(2*M/h_3)).  greatest(h_k,
+    1): h(0) = 0, and floor(x/0.0) = floor(inf) would throw on the
+    BIGINT cast under ANSI (CLAUDE.md zero-denominator rule).
+    """
+    return (
+        f"CASE WHEN n_kept < {k} THEN n_kept ELSE "
+        "CAST(floor(CAST((n_kept - 1) * CAST(2147483648 AS BIGINT) AS DOUBLE)"
+        " / CAST(greatest(h_k, CAST(1 AS BIGINT)) AS DOUBLE)) AS BIGINT) END"
+    )
 
 
 def kmv_bottom_k(values: DataFrame, col: str, k: int = 64) -> DataFrame:
@@ -70,6 +77,6 @@ def kmv_bottom_k(values: DataFrame, col: str, k: int = 64) -> DataFrame:
         .select(
             F.row_number().over(w).cast("long").alias("rank"),
             "hval",
-            F.expr(KMV_EST_EXPR).alias("est_distinct"),
+            F.expr(kmv_est_expr(k)).alias("est_distinct"),
         )
     )

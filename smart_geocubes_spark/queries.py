@@ -2556,7 +2556,7 @@ def _kmv_oracle_sql() -> str:
     from smart_geocubes_spark.operators.sketches import (
         HASH_MULT,
         HASH_SPACE,
-        KMV_EST_EXPR,
+        kmv_est_expr,
     )
 
     return f"""{ORACLE_PREFIX},
@@ -2570,7 +2570,7 @@ h AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY hval) AS BIGINT) AS rank,
        CAST(hval AS BIGINT) AS hval,
-       {KMV_EST_EXPR} AS est_distinct
+       {kmv_est_expr(64)} AS est_distinct
 FROM mins CROSS JOIN kth
 """
 

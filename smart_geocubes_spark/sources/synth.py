@@ -41,6 +41,11 @@ CUBE_TIME_EPOCHS = [1577836800, 1609459200, 1640995200, 1672531200]
 #: Seconds span of the warc_ts wrap (4 years).
 _WARC_WRAP = 126230400
 
+# host universe size; consumed by operators/graph.py (link targets are
+# drawn from the same universe) — keep the derivation and the graph in
+# lockstep through this ONE constant.
+N_HOSTS = 50
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -91,7 +96,7 @@ p4 AS (
            CASE h3 % 3 WHEN 0 THEN -15000000 WHEN 1 THEN 2000000 ELSE 10000000 END
              + h2 % 50000
          ELSE (h2 % 36000000) - 18000000 END AS lon_e5,
-         h1 % 50 AS host_id,
+         h1 % {N_HOSTS} AS host_id,
          1577836800 + (page_id * 9973) % {_WARC_WRAP} AS warc_epoch,
          CASE page_id % 6 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
                           WHEN 3 THEN 'es' WHEN 4 THEN 'ru' ELSE 'zh' END AS lang

@@ -98,29 +98,29 @@ class TestKMV:
         assert all(r["est_distinct"] == est for r in out)
 
     def test_merge_law_union_equals_merged_sketches(self, spark):
-        # mergeable-summary property: bottom-k of the union == bottom-k
-        # of the two shard sketches' union (what a fan-in tree computes)
+        # mergeable-summary property: the direct sketch of A ∪ B equals
+        # bottom-k over the union of the two shard sketches' RETAINED
+        # HASHES (no re-hashing — merging operates on sketch state), and
+        # so does the estimate recomputed from the merged state.
         a, b = range(0, 700), range(500, 1200)
         direct = kmv_bottom_k(self._vals(spark, list(a) + list(b)), "v", k=64)
         sk_a = kmv_bottom_k(self._vals(spark, a), "v", k=64).select("hval")
         sk_b = kmv_bottom_k(self._vals(spark, b), "v", k=64).select("hval")
-        merged = kmv_bottom_k(
-            sk_a.union(sk_b).select(F.col("hval").alias("v")), "v", k=64
-        )
-        # re-hashing inside the merge call changes hvals, so merge on the
-        # raw sketch values instead: compare the direct sketch's hvals to
-        # bottom-64 of the unioned shard hvals.
-        direct_h = [r["hval"] for r in direct.select("hval").collect()]
-        union_h = sorted(
+        direct_rows = direct.collect()
+        direct_h = sorted(r["hval"] for r in direct_rows)
+        merged_h = sorted(
             {r["hval"] for r in sk_a.union(sk_b).distinct().collect()}
         )[:64]
-        assert sorted(direct_h) == union_h
-        assert merged.count() == 64  # and the merged frame is well-formed
+        assert direct_h == merged_h
+        merged_est = (64 - 1) * 2147483648 // merged_h[-1]
+        assert all(r["est_distinct"] == merged_est for r in direct_rows)
 
-    def test_fewer_distinct_than_k(self, spark):
+    def test_fewer_distinct_than_k_is_exact(self, spark):
+        # underfull sketch: every distinct hash retained -> exact count,
+        # NOT the (n_kept-1)*M/h_k extrapolation (which would say 2 here)
         out = kmv_bottom_k(self._vals(spark, [1, 2, 2, 3]), "v", k=64).collect()
         assert len(out) == 3
-        assert all(r["est_distinct"] >= 1 for r in out)
+        assert all(r["est_distinct"] == 3 for r in out)
 
 
 class TestBM25:
@@ -148,6 +148,10 @@ class TestBM25:
         rows = bm25_topk(docs, ["spark"], k=2).collect()
         assert rows[0]["doc_id"] == 0  # same tf, shorter doc wins
         assert rows[0]["dl"] < rows[1]["dl"]
+
+    def test_empty_terms_raises(self, spark):
+        with pytest.raises(ValueError, match="non-empty"):
+            bm25_topk(self._docs(spark, ["a"]), [], k=1)
 
     def test_multi_term_sum_and_tie_break(self, spark):
         docs = self._docs(spark, ["spark join a", "spark join a", "join b c"])
