@@ -76,6 +76,28 @@ def host_link_edges(pages: DataFrame) -> DataFrame:
     )
 
 
+def host_link_edges_multi(pages: DataFrame) -> DataFrame:
+    """Two-target link graph: each page links host_id -> h2 % N_HOSTS
+    AND host_id -> h3 % N_HOSTS.
+
+    The single-target graph is BIPARTITE by construction (the LCG's odd
+    multiplier and odd increment flip parity, and mod 2^31 preserves
+    it, so h2 always has the opposite parity of h1 — every link joins
+    an even host to an odd one), hence triangle-free; h3 flips parity
+    back, so the union mixes both parities and closes triangles. Used
+    by the triangle census, which would otherwise count a structural
+    zero."""
+    one = pages.select(
+        F.col("host_id").cast("long").alias("src"),
+        (F.col("h2") % F.lit(N_HOSTS)).cast("long").alias("dst"),
+    )
+    two = pages.select(
+        F.col("host_id").cast("long").alias("src"),
+        (F.col("h3") % F.lit(N_HOSTS)).cast("long").alias("dst"),
+    )
+    return one.union(two).filter(F.col("src") != F.col("dst")).distinct()
+
+
 def pagerank_fixed_point(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     """``n_iter`` PageRank rounds in scaled-BIGINT fixed point.
 
@@ -124,4 +146,54 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = 2) -> DataFrame:
             F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg"),
             F.coalesce(F.col("indeg"), F.lit(0)).cast("long").alias("indeg"),
         )
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of the undirected host graph: one row
+    (n_nodes, n_edges, n_wedges, n_triangles).
+
+    Compact-forward counting: symmetrize to canonical a < b edges, then
+    count paths a < b < c with both (a,b),(b,c) present and close them
+    against (a,c) — each triangle counted exactly once via the total
+    order, no post-hoc /6.  All three joins are hash equi-joins.
+
+    Scale note: id-orientation bounds wedge enumeration by the max
+    id-forward degree; on power-law web graphs the production
+    refinement is DEGREE-ordered orientation ((deg, id) totally orders
+    endpoints), which caps work at O(E^1.5) regardless of skew — same
+    plan shape, one extra degree join.  n_wedges = sum(deg*(deg-1) DIV 2)
+    stays exact in BIGINT (consecutive integers: the product is even).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degrees + three join legs
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    node_stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, e1["y"] == e2["y2"])  # path x < y < z
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    n_edges = und.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        node_stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )

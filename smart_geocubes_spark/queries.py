@@ -2575,6 +2575,186 @@ FROM mins CROSS JOIN kth
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (web analytics): users bucketed by
+    first-seen day, activity counted per day offset. Exact distinct
+    counts, integer day arithmetic (epoch_us DIV 86400000000 — both
+    engines truncate identically on non-negative epochs). Two
+    aggregations and one join, all partitioned on user_id — at scale
+    the join reuses the groupBy's hash partitioning (no extra
+    shuffle)."""
+    ensure_base_views(spark, sf_dir)
+    e = (
+        spark.table("events")
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            (F.col("day") - F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """WITH e AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+)
+SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+       CAST(e.day - f.cohort_day AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_US = 86_400_000_000  # 24 h conversion window per step
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ordered-funnel analysis: users who did view, then click
+    strictly after their first view but within 24 h, then purchase
+    within 24 h of that click (min-after semantics: t_k = earliest
+    step-k event with t_{k-1} < ts <= t_{k-1} + window; equivalent to
+    the greedy single-scan funnel, but — unlike a fold over a
+    time-sorted array — free of cross-engine tie-order ambiguity when
+    two events share a timestamp). The window makes the fixture
+    discriminate: 150 -> 60 -> 25 users at sf0.01 (an unwindowed
+    funnel converts everyone over a 30-day trace). Output: one row per
+    step with the surviving user count. Each phase is a filtered
+    conditional agg + an equi-join on user_id; all three phases hash
+    partition on the same key."""
+    ensure_base_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    return funnel_counts(ev, FUNNEL_STEPS, window_us=FUNNEL_WINDOW_US)
+
+
+def funnel_counts(
+    ev: DataFrame, steps: list[str], window_us: int | None = None
+) -> DataFrame:
+    """Min-after funnel over (user_id, event_type, us) rows; one output
+    row per step with the surviving user count.  ``window_us`` bounds
+    each conversion step (None = unbounded)."""
+    prev = None
+    stage_frames = []
+    for k, step in enumerate(steps):
+        cur = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("us") > F.col("t_prev"))
+            if window_us is not None:
+                cur = cur.filter(F.col("us") <= F.col("t_prev") + F.lit(window_us))
+        cur = cur.groupBy("user_id").agg(F.min("us").alias("t_prev"))
+        prev = cur
+        stage_frames.append(
+            cur.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit(k + 1).cast("long").alias("step"),
+                F.lit(step).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = stage_frames[0]
+    for frame in stage_frames[1:]:
+        out = out.union(frame)
+    return out
+
+
+SQL_FUNNEL_STEPS = f"""WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), t1 AS (
+  SELECT user_id, min(us) AS t1 FROM ev
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+), t2 AS (
+  SELECT ev.user_id, min(us) AS t2 FROM ev JOIN t1 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[1]}' AND us > t1
+    AND us <= t1 + {FUNNEL_WINDOW_US} GROUP BY ev.user_id
+), t3 AS (
+  SELECT ev.user_id, min(us) AS t3 FROM ev JOIN t2 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[2]}' AND us > t2
+    AND us <= t2 + {FUNNEL_WINDOW_US} GROUP BY ev.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+       CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), '{FUNNEL_STEPS[1]}',
+       CAST((SELECT count(*) FROM t2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), '{FUNNEL_STEPS[2]}',
+       CAST((SELECT count(*) FROM t3) AS BIGINT)
+"""
+
+
+# deterministic edge sampling for the census fixture: the TWO-target
+# link graph saturates to the complete K50 at sf>=0.01 (every host pair
+# observed), which is as degenerate as the bipartite single-target
+# graph's structural zero — keep ~3/7 of canonical pairs by an integer
+# hash so the census has real structure (525 edges / 1428 triangles at
+# sf0.01). Graph-sketch edge sampling, same expression both engines.
+TRIANGLE_EDGE_KEEP = "(least(src, dst) * 53 + greatest(src, dst)) % 7 < 3"
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the (two-target, hash-sampled) undirected
+    host link graph (operators/graph.py:triangle_stats —
+    compact-forward a<b<c counting, exact BIGINT wedge count; see
+    host_link_edges_multi for why the single-target graph is
+    structurally triangle-free)."""
+    from smart_geocubes_spark.operators.graph import (
+        host_link_edges_multi,
+        triangle_stats,
+    )
+
+    ensure_base_views(spark, sf_dir)
+    pages = spark.sql(pages_sql("orders"))
+    edges = host_link_edges_multi(pages).filter(F.expr(TRIANGLE_EDGE_KEEP))
+    return triangle_stats(edges)
+
+
+def _triangle_oracle_sql() -> str:
+    from smart_geocubes_spark.operators.graph import N_HOSTS
+
+    return f"""{ORACLE_PREFIX},
+dedges AS (
+  SELECT host_id AS src, h2 % {N_HOSTS} AS dst
+  FROM pages WHERE host_id <> h2 % {N_HOSTS}
+  UNION
+  SELECT host_id AS src, h3 % {N_HOSTS} AS dst
+  FROM pages WHERE host_id <> h3 % {N_HOSTS}
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dedges WHERE {TRIANGLE_EDGE_KEEP}
+), deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -2650,6 +2830,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_dup": q_prefix_dup,
     "bm25_rank": q_bm25_rank,
     "kmv_distinct_cells": q_kmv_distinct_cells,
+    "cohort_retention": q_cohort_retention,
+    "funnel_steps": q_funnel_steps,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLES: dict[str, str] = {
@@ -2658,6 +2841,9 @@ ORACLES: dict[str, str] = {
     "prefix_dup": SQL_PREFIX_DUP,
     "bm25_rank": _bm25_oracle_sql(BM25_TERMS),
     "kmv_distinct_cells": _kmv_oracle_sql(),
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "funnel_steps": SQL_FUNNEL_STEPS,
+    "triangle_count": _triangle_oracle_sql(),
     "geoparse": SQL_GEOPARSE,
     "extract_text": SQL_EXTRACT_TEXT,
     "tile_assign": SQL_TILE_ASSIGN,

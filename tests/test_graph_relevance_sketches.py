@@ -159,3 +159,65 @@ class TestBM25:
         # identical docs tie exactly (bit-equal doubles) -> doc_id order
         assert [r["doc_id"] for r in rows] == [0, 1, 2]
         assert rows[0]["score"] == rows[1]["score"]
+
+
+class TestTriangleStats:
+    def _tri(self, spark, pairs):
+        from smart_geocubes_spark.operators.graph import triangle_stats
+
+        return triangle_stats(_edges(spark, pairs)).collect()[0]
+
+    def test_k4_complete_graph(self, spark):
+        pairs = [(a, b) for a in range(4) for b in range(4) if a != b]
+        r = self._tri(spark, pairs)  # directed both ways -> 6 und edges
+        assert (r["n_nodes"], r["n_edges"]) == (4, 6)
+        assert r["n_wedges"] == 12  # 4 nodes x C(3,2)
+        assert r["n_triangles"] == 4  # C(4,3)
+
+    def test_path_graph_has_wedge_no_triangle(self, spark):
+        r = self._tri(spark, [(0, 1), (1, 2)])
+        assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (2, 1, 0)
+
+    def test_symmetrization_dedups_directed_pairs(self, spark):
+        r = self._tri(spark, [(0, 1), (1, 0), (0, 1)])
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (2, 1, 0)
+
+
+class TestFunnelCounts:
+    def test_min_after_and_tie_exclusion(self, spark):
+        from smart_geocubes_spark.queries import funnel_counts
+
+        rows = [
+            # A: clean view -> click -> purchase
+            ("A", "view", 1), ("A", "click", 2), ("A", "purchase", 3),
+            # B: click BEFORE first view -> stalls at step 1
+            ("B", "click", 1), ("B", "view", 2), ("B", "purchase", 3),
+            # C: click at the SAME instant as view -> strict > excludes
+            ("C", "view", 1), ("C", "click", 1),
+        ]
+        ev = spark.createDataFrame(rows, "user_id string, event_type string, us long")
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+        }
+        # B's purchase@3 is NOT counted: no qualifying click ever happened
+        assert got == {1: 3, 2: 1, 3: 1}
+
+    def test_conversion_window_bounds_each_step(self, spark):
+        from smart_geocubes_spark.queries import funnel_counts
+
+        rows = [
+            ("A", "view", 100), ("A", "click", 110), ("A", "purchase", 115),
+            # B clicks at exactly window edge (inclusive), purchases late
+            ("B", "view", 100), ("B", "click", 110), ("B", "purchase", 121),
+            # C clicks too late
+            ("C", "view", 100), ("C", "click", 111),
+        ]
+        ev = spark.createDataFrame(rows, "user_id string, event_type string, us long")
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(
+                ev, ["view", "click", "purchase"], window_us=10
+            ).collect()
+        }
+        assert got == {1: 3, 2: 2, 3: 1}
