@@ -2755,6 +2755,90 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
 """
 
 
+RESAMPLE_HOURS = 200  # bounded per-user grid length (hours)
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + forward-fill (gap filling): for each user,
+    an hourly grid of RESAMPLE_HOURS hours anchored at their first
+    event; each hour carries the LAST event value (cents) in that hour,
+    forward-filled across empty hours.  The hypertable
+    `time_bucket_gapfill + locf` op, as two windows and a join:
+    per-(user,hour) last-event pick, per-user explode of a constant
+    sequence (no lateral range with column args — DuckDB trap), then
+    `last(..., ignorenulls)` over the per-user hour order.  Every
+    stage partitions on user_id; grid size is a constant, so output =
+    n_users x RESAMPLE_HOURS, never data-dependent fan-out."""
+    from pyspark.sql import Window
+
+    ensure_base_views(spark, sf_dir)
+    e = spark.table("events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    e = e.withColumn("hour", F.expr("us DIV 3600000000"))
+    wpick = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        e.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", "cents")
+    )
+    h0 = hourly.groupBy("user_id").agg(F.min("hour").alias("h0"))
+    grid = h0.select(
+        "user_id",
+        "h0",
+        F.explode(F.sequence(F.lit(0), F.lit(RESAMPLE_HOURS - 1))).alias("hour_idx"),
+    ).withColumn("hour", F.col("h0") + F.col("hour_idx"))
+    j = grid.join(hourly, ["user_id", "hour"], "left")
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("hour_idx").cast("long").alias("hour_idx"),
+        F.last("cents", ignorenulls=True).over(wfill).cast("long").alias(
+            "filled_cents"
+        ),
+    )
+
+
+SQL_RESAMPLE_FFILL = f"""WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour
+  FROM events
+), picked AS (
+  SELECT user_id, hour, cents,
+         row_number() OVER (PARTITION BY user_id, hour
+                            ORDER BY us DESC, event_id DESC) AS rn
+  FROM e
+), hourly AS (
+  SELECT user_id, hour, cents FROM picked WHERE rn = 1
+), h0 AS (
+  SELECT user_id, min(hour) AS h0 FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, h0, i AS hour_idx, h0 + i AS hour
+  FROM h0 CROSS JOIN (SELECT range AS i FROM range(0, {RESAMPLE_HOURS}))
+), j AS (
+  SELECT grid.user_id, grid.hour_idx, hourly.cents
+  FROM grid LEFT JOIN hourly
+    ON grid.user_id = hourly.user_id AND grid.hour = hourly.hour
+)
+SELECT user_id, CAST(hour_idx AS BIGINT) AS hour_idx,
+       CAST(last_value(cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS filled_cents
+FROM j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -2833,6 +2917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
     "triangle_count": q_triangle_count,
+    "resample_ffill": q_resample_ffill,
 }
 
 ORACLES: dict[str, str] = {
@@ -2844,6 +2929,7 @@ ORACLES: dict[str, str] = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_steps": SQL_FUNNEL_STEPS,
     "triangle_count": _triangle_oracle_sql(),
+    "resample_ffill": SQL_RESAMPLE_FFILL,
     "geoparse": SQL_GEOPARSE,
     "extract_text": SQL_EXTRACT_TEXT,
     "tile_assign": SQL_TILE_ASSIGN,
