@@ -57,6 +57,15 @@ DAMP_EXPR = (
 )
 
 
+def _directed(pages: DataFrame, hash_col: str) -> DataFrame:
+    """host_id -> (hash_col % N_HOSTS) directed links, one per page.
+    Shared by both graph derivations so the projections cannot drift."""
+    return pages.select(
+        F.col("host_id").cast("long").alias("src"),
+        (F.col(hash_col) % F.lit(N_HOSTS)).cast("long").alias("dst"),
+    )
+
+
 def host_link_edges(pages: DataFrame) -> DataFrame:
     """Distinct host->host edges derived from pages.
 
@@ -67,10 +76,7 @@ def host_link_edges(pages: DataFrame) -> DataFrame:
     is the provably-exact fixed-point step — see module docstring).
     """
     return (
-        pages.select(
-            F.col("host_id").cast("long").alias("src"),
-            (F.col("h2") % F.lit(N_HOSTS)).cast("long").alias("dst"),
-        )
+        _directed(pages, "h2")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -87,15 +93,12 @@ def host_link_edges_multi(pages: DataFrame) -> DataFrame:
     back, so the union mixes both parities and closes triangles. Used
     by the triangle census, which would otherwise count a structural
     zero."""
-    one = pages.select(
-        F.col("host_id").cast("long").alias("src"),
-        (F.col("h2") % F.lit(N_HOSTS)).cast("long").alias("dst"),
+    return (
+        _directed(pages, "h2")
+        .union(_directed(pages, "h3"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
     )
-    two = pages.select(
-        F.col("host_id").cast("long").alias("src"),
-        (F.col("h3") % F.lit(N_HOSTS)).cast("long").alias("dst"),
-    )
-    return one.union(two).filter(F.col("src") != F.col("dst")).distinct()
 
 
 def pagerank_fixed_point(edges: DataFrame, n_iter: int = 2) -> DataFrame:

@@ -2579,24 +2579,21 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (web analytics): users bucketed by
     first-seen day, activity counted per day offset. Exact distinct
     counts, integer day arithmetic (epoch_us DIV 86400000000 — both
-    engines truncate identically on non-negative epochs). Two
-    aggregations and one join, all partitioned on user_id — at scale
-    the join reuses the groupBy's hash partitioning (no extra
-    shuffle)."""
+    engines truncate identically on non-negative epochs). The cohort
+    day is a window-min over user_id — no first-seen join at all, so
+    the plan is one user_id shuffle for the window plus the final
+    aggregation (countDistinct dedups, so no pre-distinct pass is
+    needed either)."""
+    from pyspark.sql import Window
+
     ensure_base_views(spark, sf_dir)
-    e = (
-        spark.table("events")
-        .select(
-            "user_id",
-            F.expr(
-                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
-            ).alias("day"),
-        )
-        .distinct()
+    e = spark.table("events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias("day"),
     )
-    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
     return (
-        e.join(first, "user_id")
+        e.withColumn("cohort_day", cohort)
         .groupBy(
             F.col("cohort_day").cast("long").alias("cohort_day"),
             (F.col("day") - F.col("cohort_day")).cast("long").alias("day_offset"),
@@ -2606,16 +2603,18 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_COHORT_RETENTION = """WITH e AS (
-  SELECT DISTINCT user_id,
+  SELECT user_id,
          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
   FROM events
-), f AS (
-  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+), c AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM e
 )
-SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
-       CAST(e.day - f.cohort_day AS BIGINT) AS day_offset,
-       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
-FROM e JOIN f USING (user_id)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(day - cohort_day AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM c
 GROUP BY 1, 2
 """
 
