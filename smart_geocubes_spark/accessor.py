@@ -133,6 +133,10 @@ class GeocubeAccessor:
         b = ref.agg(
             F.min("tile_x"), F.min("tile_y"), F.max("tile_x"), F.max("tile_y")
         ).collect()[0]
+        if b[0] is None:
+            # an empty ref (e.g. fully filtered) would otherwise surface
+            # as a NaN-to-int crash deep inside the tile math
+            raise ValueError("load_like: reference frame is empty — no ROI to derive")
         minx, _, _, maxy0 = spec.grid.tile_bounds(pd.Series([b[0]]), pd.Series([b[1]]))
         _, miny, maxx, _ = spec.grid.tile_bounds(pd.Series([b[2]]), pd.Series([b[3]]))
         eps = spec.grid.geobox.res / 2
@@ -209,14 +213,21 @@ class GeocubeAccessor:
         return pdf.assign(minx=minx, miny=miny, maxx=maxx, maxy=maxy)
 
     def metrics(self) -> pd.DataFrame:
-        """Per-run metrics (event-log analog, core/backend.py:23-28)."""
+        """Per-run metrics (event-log analog, core/backend.py:23-28),
+        in COMMIT order (the metrics filenames are uuid-hex — sorting
+        them would order runs randomly; the commit counter is the
+        operational timeline the Gantt renders)."""
         import glob
         import json
 
+        from smart_geocubes_spark.plans.materialize import snapshots
+
+        seq = {s["batch_id"]: s["seq"] for s in snapshots(self.path)}
         rows = []
         for p in sorted(glob.glob(os.path.join(self.path, "metrics", "*.json"))):
             with open(p) as f:
                 rows.append(json.load(f))
+        rows.sort(key=lambda r: seq.get(r.get("batch_id"), 1 << 62))
         return pd.DataFrame(rows)
 
     def visualize_state(self, width: int = 40) -> str:

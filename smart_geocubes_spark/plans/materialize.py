@@ -195,10 +195,14 @@ def _allocate_commit_seq(path: str, batch_id: str) -> int:
 
     First allocation on a pre-ticket cube backfills tickets for its
     existing committed batches in (mtime, batch_id) order — the legacy
-    ordering, frozen once."""
+    ordering, frozen once. The backfill is ATOMIC: tickets are written
+    into a temp dir and os.rename'd into place, so the _commits dir is
+    either absent (pure legacy mode) or complete — a crash mid-backfill
+    leaves only a temp dir (reaped by vacuum) and the next committer
+    redoes it; readers can never observe a partial ticket set that
+    would make committed batches invisible."""
     d = _commits_dir(path)
     if not os.path.isdir(d):
-        os.makedirs(d, exist_ok=True)
         ldir = os.path.join(path, "lineage")
         legacy = sorted(
             (
@@ -209,8 +213,16 @@ def _allocate_commit_seq(path: str, batch_id: str) -> int:
                 and b.split("=", 1)[1] != batch_id  # the caller gets its own
             ),
         )
+        tmp = f"{d}.tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp)
         for _, bid in legacy:
-            _take_ticket(d, bid)
+            _take_ticket(tmp, bid)
+        try:
+            os.rename(tmp, d)  # atomic: all-or-nothing backfill
+        except OSError:  # concurrent committer's backfill won the rename
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return _take_ticket(d, batch_id)
 
 
@@ -417,68 +429,75 @@ def materialize(
         "batch_id", F.lit(batch_id)
     )
     # the anti-join plan feeds three actions (count, block write,
-    # lineage write): bucket once and persist
-    missing = missing.repartition(F.col("pt")).persist()
-    try:
-        n_missing = missing.count()
-        if n_missing == 0:
-            # nothing committed under this id — returning it would hand
-            # the caller a batch_id that snapshots()/as_of reject
-            return {
-                "batch_id": None, "written": 0, "skipped": "all cached",
-                "sec": time.time() - t0,
-            }
-
-        blocks = missing.mapInPandas(
-            _gen_blocks_factory(spec.grid.chunk_px), schema=BLOCK_WRITE_SCHEMA
-        )
-        block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
-        blocks.write.mode("overwrite").parquet(block_dir)
-
-        # split the per-chunk event rows out of the written files — a
-        # COLUMN-PRUNED read-back (never touches the `block` arrays), so
-        # the generation kernel ran exactly once. Events land before the
-        # lineage commit (they record what happened, crash or not);
-        # read_events gates visibility on the commit like blocks do.
-        ev_cols = [f.split()[0] for f in EVENT_SCHEMA.split(", ")]
-        events = spark.read.parquet(block_dir).select(*ev_cols)
-        events.write.mode("overwrite").parquet(
-            os.path.join(path, "events", f"batch={batch_id}")
-        )
-
-        if fail_after_blocks:
-            raise RuntimeError("simulated crash before lineage commit")
-
-        # lineage rows from the SAME pt-bucketed partitions the blocks
-        # were written from, so partition_id names the block write
-        # partition (per-partition lineage contract) — the COMMIT.
-        n_px = spec.grid.chunk_px * spec.grid.chunk_px
-        lin = (
-            missing.withColumn("partition_id", F.spark_partition_id())
-            .withColumn("n_rows", F.lit(1).cast("long"))
-            .withColumn("n_bytes", F.lit(8 * n_px).cast("long"))
-            .select(
-                "chunk_key", "tile_id", "time_idx", "channel",
-                "batch_id", "partition_id", "n_rows", "n_bytes",
-            )
-        )
-        lin_dir = os.path.join(path, "lineage", f"batch={batch_id}")
-        lin.write.mode("overwrite").parquet(lin_dir)
-        _allocate_commit_seq(path, batch_id)  # THE commit point (atomic ticket)
-
-        # per-run metrics (event-log analog, core/backend.py:23-28)
-        metrics = {
-            "batch_id": batch_id,
-            "written": int(n_missing),
+    # lineage write): bucket once, sort within partitions so the
+    # written files' row-group min/max stats on (tile_id, time_idx,
+    # channel) are tight (the pruning the module docstring promises —
+    # sorting the PLAN rows is cheap; the kernel preserves row order
+    # so the block rows land sorted too), then localCheckpoint
+    # (CLAUDE.md rule: 2+ consumers -> checkpoint, never cache whose
+    # evicted partitions silently recompute the anti-join per action)
+    missing = (
+        missing.repartition(F.col("pt"))
+        .sortWithinPartitions("tile_id", "time_idx", "channel")
+        .localCheckpoint(eager=True)
+    )
+    n_missing = missing.count()
+    if n_missing == 0:
+        # nothing committed under this id — returning it would hand
+        # the caller a batch_id that snapshots()/as_of reject
+        return {
+            "batch_id": None, "written": 0, "skipped": "all cached",
             "sec": time.time() - t0,
         }
-        mdir = os.path.join(path, "metrics")
-        os.makedirs(mdir, exist_ok=True)
-        with open(os.path.join(mdir, f"{batch_id}.json"), "w") as f:
-            json.dump(metrics, f)
-        return metrics
-    finally:
-        missing.unpersist()
+
+    blocks = missing.mapInPandas(
+        _gen_blocks_factory(spec.grid.chunk_px), schema=BLOCK_WRITE_SCHEMA
+    )
+    block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
+    blocks.write.mode("overwrite").parquet(block_dir)
+
+    # split the per-chunk event rows out of the written files — a
+    # COLUMN-PRUNED read-back (never touches the `block` arrays), so
+    # the generation kernel ran exactly once. Events land before the
+    # lineage commit (they record what happened, crash or not);
+    # read_events gates visibility on the commit like blocks do.
+    ev_cols = [f.split()[0] for f in EVENT_SCHEMA.split(", ")]
+    events = spark.read.parquet(block_dir).select(*ev_cols)
+    events.write.mode("overwrite").parquet(
+        os.path.join(path, "events", f"batch={batch_id}")
+    )
+
+    if fail_after_blocks:
+        raise RuntimeError("simulated crash before lineage commit")
+
+    # lineage rows from the SAME pt-bucketed partitions the blocks
+    # were written from, so partition_id names the block write
+    # partition (per-partition lineage contract) — the COMMIT.
+    n_px = spec.grid.chunk_px * spec.grid.chunk_px
+    lin = (
+        missing.withColumn("partition_id", F.spark_partition_id())
+        .withColumn("n_rows", F.lit(1).cast("long"))
+        .withColumn("n_bytes", F.lit(8 * n_px).cast("long"))
+        .select(
+            "chunk_key", "tile_id", "time_idx", "channel",
+            "batch_id", "partition_id", "n_rows", "n_bytes",
+        )
+    )
+    lin_dir = os.path.join(path, "lineage", f"batch={batch_id}")
+    lin.write.mode("overwrite").parquet(lin_dir)
+    _allocate_commit_seq(path, batch_id)  # THE commit point (atomic ticket)
+
+    # per-run metrics (event-log analog, core/backend.py:23-28)
+    metrics = {
+        "batch_id": batch_id,
+        "written": int(n_missing),
+        "sec": time.time() - t0,
+    }
+    mdir = os.path.join(path, "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"{batch_id}.json"), "w") as f:
+        json.dump(metrics, f)
+    return metrics
 
 
 def snapshots(path: str) -> list[dict]:
@@ -560,6 +579,11 @@ def load(
             for tx, ty in spec.grid.tiles_overlapping_bbox(*r)
         ]
         tile_ids = sorted({t for t, _ in roi_pairs})
+    if not tile_ids:
+        # same guard the write path (candidate_chunks) applies: an
+        # out-of-extent bbox (typo'd / lon-lat swapped) must not read
+        # as "nothing committed here" — that silence hides the error
+        raise ValueError("ROI does not intersect the cube extent")
     batches = _block_batches(path)
     if allowed is not None:
         batches = [
@@ -689,8 +713,13 @@ def compact(spark: SparkSession, path: str) -> dict:
             ),
         ),
     )
+    # NO broadcast hint: winners is one row per visible chunk — cube-
+    # sized, the exact thing load() refuses to force-broadcast (its ROI
+    # prune is what makes its broadcast safe; compact has no ROI). Let
+    # Catalyst/AQE pick: shuffled semi-join at scale, auto-broadcast
+    # only when the registry actually fits.
     visible = blocks.join(
-        F.broadcast(winners.select("chunk_key", "batch_id")),
+        winners.select("chunk_key", "batch_id"),
         ["chunk_key", "batch_id"],
         "left_semi",
     ).withColumn("batch_id", F.lit(new_id))
@@ -713,6 +742,15 @@ def compact(spark: SparkSession, path: str) -> dict:
     new_lineage.write.mode("overwrite").parquet(
         os.path.join(path, "lineage", f"batch={new_id}")
     )
+    # manifest of the batches whose event history THIS compaction
+    # carried — vacuum's ground truth for what is safe to delete. A
+    # batch committing concurrently (after our read_events above) is
+    # not listed, so its events can never be vacuumed on our account.
+    # Leading underscore: Spark/Hadoop readers ignore the file.
+    with open(
+        os.path.join(path, "lineage", f"batch={new_id}", "_covered.json"), "w"
+    ) as mf:
+        json.dump(sorted(os.path.basename(b).split("=", 1)[1] for b in committed), mf)
     # THE commit point: until the ticket lands the compacted batch is an
     # invisible orphan (readers keep the old view); compaction commits
     # LAST in seq order
@@ -724,16 +762,22 @@ def compact(spark: SparkSession, path: str) -> dict:
 def vacuum(spark: SparkSession, path: str, min_orphan_age_sec: float = 86400.0) -> dict:
     """Physically remove (1) uncommitted batch dirs older than
     ``min_orphan_age_sec`` (crashed orphans — invisible by the lineage
-    gate) and (2) committed batches whose entire chunk set is covered
-    by a smaller-id batch (shadowed by a compaction; their event
-    history was carried into the compacted batch). Never touches a
-    batch that wins any chunk.
+    gate) and (2) committed batches that a compaction RECORDED as
+    carried (its ``_covered.json`` manifest) and whose covering
+    compaction committed at least ``min_orphan_age_sec`` ago. Never
+    touches a batch that wins any chunk, and never deletes a shadowed
+    batch no manifest vouches for (e.g. a dup-only concurrent fill that
+    lost every chunk but whose event history was never carried — its
+    events stay, the log is append-only).
 
-    The age guard is what makes concurrent fills safe: a fill IN FLIGHT
-    looks exactly like a crashed orphan (blocks written, lineage not
-    yet) — deleting it would let its later lineage commit claim chunks
-    whose blocks are gone, permanent silent loss. Default 24 h; pass 0
-    only when no fill can be running (tests, single-actor admin)."""
+    The age guard serves twice: a fill IN FLIGHT looks exactly like a
+    crashed orphan (blocks written, lineage not yet) — deleting it
+    would let its later lineage commit claim chunks whose blocks are
+    gone; and a reader holding a LAZY frame resolved against
+    pre-compaction batch paths (Delta-style retention) needs the
+    shadowed files to outlive the compaction by the retention window.
+    Default 24 h; pass 0 only when no fill can be running and no lazy
+    reader is live (tests, single-actor admin)."""
     import shutil
 
     committed = {os.path.basename(b) for b in _lineage_batches(path)}
@@ -770,11 +814,33 @@ def vacuum(spark: SparkSession, path: str, min_orphan_age_sec: float = 86400.0) 
         .distinct()
     )
     winning = {r["batch_id"] for r in covered.collect()}
+
+    # which shadowed batches did a compaction actually CARRY, and has
+    # that compaction been committed long enough for lazy readers to
+    # have drained (ticket mtime = commit time)?
+    cdir = _commits_dir(path)
+    ticket_mtime: dict[str, float] = {}
+    if os.path.isdir(cdir):
+        for f in os.listdir(cdir):
+            if "=" in f:
+                bid = f.split("=", 1)[1]
+                m = os.path.getmtime(os.path.join(cdir, f))
+                ticket_mtime[bid] = min(m, ticket_mtime.get(bid, m))
+    vouched: set[str] = set()
+    for b in sorted(committed):
+        bid = b.split("=", 1)[1]
+        mf = os.path.join(path, "lineage", b, "_covered.json")
+        if not os.path.exists(mf):
+            continue
+        if now - ticket_mtime.get(bid, now) < min_orphan_age_sec:
+            continue  # compaction too fresh: retention window still open
+        with open(mf) as fh:
+            vouched.update(json.load(fh))
     removed_shadowed = []
     removed_bids = set()
     for b in sorted(committed):
         bid = b.split("=", 1)[1]
-        if bid in winning:
+        if bid in winning or bid not in vouched:
             continue
         for sub in ("blocks", "events", "lineage"):
             p = os.path.join(path, sub, b)
@@ -785,8 +851,14 @@ def vacuum(spark: SparkSession, path: str, min_orphan_age_sec: float = 86400.0) 
 
     # commit-ticket hygiene: entries of removed batches, plus any
     # dangling ticket whose lineage no longer exists, past the same
-    # age guard
-    cdir = _commits_dir(path)
+    # age guard; also crashed atomic-backfill temp dirs
+    for f in os.listdir(os.path.join(path, "lineage")):
+        p = os.path.join(path, "lineage", f)
+        if (
+            f.startswith("_commits.tmp.")
+            and now - os.path.getmtime(p) >= min_orphan_age_sec
+        ):
+            shutil.rmtree(p, ignore_errors=True)
     live = {b.split("=", 1)[1] for b in committed} - removed_bids
     if os.path.isdir(cdir):
         for f in os.listdir(cdir):

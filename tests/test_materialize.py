@@ -137,16 +137,19 @@ def test_compact_shadows_then_vacuum_drops(spark, cube):
     assert m["batch_id"].startswith("0") and m["batches_covered"] == 2
     assert _visible_state(spark, cube, big) == before
 
-    # default age guard protects a fresh (possibly in-flight) batch;
-    # SHADOWED removal is age-independent (committed batches whose
-    # winners all live elsewhere are provably dead)
+    # default age guard protects a fresh (possibly in-flight) batch
+    # AND keeps freshly-shadowed batches for the retention window — a
+    # lazy reader may still hold pre-compaction file paths (Delta-style
+    # retention; the compact ticket is minutes old here)
     v0 = vacuum(spark, cube)
     assert not v0["orphans_removed"]
-    assert len(v0["shadowed_removed"]) == 2  # both fill batches covered
+    assert not v0["shadowed_removed"]
     assert _visible_state(spark, cube, big) == before
-    # ...age 0 = admin mode: the crashed orphan goes too
+    # ...age 0 = admin mode: retention waived, the crashed orphan AND
+    # the manifest-vouched shadowed fills go
     v = vacuum(spark, cube, min_orphan_age_sec=0)
     assert any("blocks/" in x for x in v["orphans_removed"])  # the crash
+    assert len(v["shadowed_removed"]) == 2  # both fill batches covered
     assert _visible_state(spark, cube, big) == before
     assert len(_os.listdir(_os.path.join(cube, "blocks"))) == 1  # one batch left
     # idempotent refill still writes nothing (lineage intact post-compact)
@@ -375,3 +378,41 @@ def test_concurrent_fills_no_duplicates(spark, cube):
     assert got == want
     # rerun writes nothing
     assert materialize(spark, cube, ROI_A)["written"] == 0
+
+
+def test_vacuum_never_deletes_unvouched_shadowed_batch(spark, cube):
+    """A committed batch that wins zero chunks (dup-only concurrent
+    fill) is shadowed, but if no compaction ever carried its event
+    history there is no copy anywhere — vacuum must keep it (the event
+    log is append-only). Only after a compaction's _covered.json
+    vouches for it may vacuum drop it."""
+    import shutil as _sh
+
+    from smart_geocubes_spark.plans.materialize import (
+        _allocate_commit_seq,
+        compact,
+        read_events,
+        vacuum,
+    )
+
+    m = materialize(spark, cube, ROI_A)
+    # forge a committed duplicate batch with a LARGER id: copies every
+    # chunk of the first fill, so it wins nothing (deterministic stand-in
+    # for the racing-fill interleaving)
+    dup = "f" * 12
+    for sub in ("blocks", "events", "lineage"):
+        src = os.path.join(cube, sub, f"batch={m['batch_id']}")
+        if os.path.isdir(src):
+            _sh.copytree(src, os.path.join(cube, sub, f"batch={dup}"))
+    _allocate_commit_seq(cube, dup)
+    ev_before = read_events(spark, cube).count()
+
+    v = vacuum(spark, cube, min_orphan_age_sec=0)
+    assert not v["shadowed_removed"]  # shadowed but unvouched -> kept
+    assert read_events(spark, cube).count() == ev_before
+
+    compact(spark, cube)  # carries ALL committed events + writes manifest
+    v2 = vacuum(spark, cube, min_orphan_age_sec=0)
+    assert any(dup in b for b in v2["shadowed_removed"])
+    # event history survives via the compacted copy (dedup'd by reader)
+    assert read_events(spark, cube).count() == ev_before
