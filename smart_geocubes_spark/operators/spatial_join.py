@@ -48,6 +48,19 @@ def explode_catalog_to_cells(spark: SparkSession, catalog: DataFrame) -> DataFra
     vectorized: per-patch cell spans are repeated/tiled with numpy, so
     a 10^5-patch catalog explodes without a Python row loop."""
     pdf = catalog.toPandas()
+    # antimeridian-crossing bboxes (minx > maxx after wrap
+    # normalization) cannot be a single cell span — split into the
+    # west [minx, 180] and east [-180, maxx] halves (disjoint cell
+    # sets, each half carrying its own correct bbox for the band
+    # post-filter). Without this the span math goes negative and
+    # np.repeat raises.
+    wrap = pdf["minx"].to_numpy(np.float64) > pdf["maxx"].to_numpy(np.float64)
+    if wrap.any():
+        west = pdf[wrap].copy()
+        west["maxx"] = 180.0
+        east = pdf[wrap].copy()
+        east["minx"] = -180.0
+        pdf = pd.concat([pdf[~wrap], west, east], ignore_index=True)
     x_lo = np.floor((pdf["minx"].to_numpy(np.float64) + 180.0) / CELL_DEG).astype(np.int64)
     x_hi = np.floor((pdf["maxx"].to_numpy(np.float64) + 180.0) / CELL_DEG).astype(np.int64)
     y_lo = np.floor((90.0 - pdf["maxy"].to_numpy(np.float64)) / CELL_DEG).astype(np.int64)
@@ -105,7 +118,9 @@ def diamond_pip_udf():
                 out[sel] = points_in_polygon(lon_v[sel], lat_v[sel], vx, vy)
             return pd.Series(out)
 
-        _UDF_CACHE["pip"] = _udf
+        # expensive kernel: pin one evaluation (CLAUDE.md rule 4 —
+        # Catalyst may duplicate deterministic UDFs across exchanges)
+        _UDF_CACHE["pip"] = _udf.asNondeterministic()
     return _UDF_CACHE["pip"]
 
 
@@ -135,7 +150,7 @@ def polygon_pip_udf():
                 out[sel] = points_in_polygon(lon_v[sel], lat_v[sel], vx, vy)
             return pd.Series(out)
 
-        _UDF_CACHE["poly_pip"] = _udf
+        _UDF_CACHE["poly_pip"] = _udf.asNondeterministic()
     return _UDF_CACHE["poly_pip"]
 
 

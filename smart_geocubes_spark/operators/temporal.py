@@ -59,7 +59,14 @@ def asof_nearest(events: DataFrame, axis: DataFrame, ts_col: str = "warc_epoch")
             lambda acc, s: acc + F.when(ts2 > s, F.lit(1)).otherwise(F.lit(0)),
         )
     idx_arr = F.array(*[F.lit(int(i)).cast("int") for i in idxs])
-    return events.withColumn("time_idx", F.element_at(idx_arr, pos + F.lit(1)))
+    # NULL ts -> NULL time_idx: without the guard every when() in the
+    # midpoint count takes the otherwise branch, pos = 0, and a NULL
+    # event silently snaps to the FIRST axis step (fabricated match) —
+    # mirror merge_asof_backward's unmatched-rows-stay-NULL contract
+    mapped = F.when(
+        F.col(ts_col).isNotNull(), F.element_at(idx_arr, pos + F.lit(1))
+    ).otherwise(F.lit(None).cast("int"))
+    return events.withColumn("time_idx", mapped)
 
 
 def merge_asof_backward(

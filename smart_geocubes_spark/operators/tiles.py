@@ -68,12 +68,26 @@ def make_cell_udf(res: int):
 
     @F.pandas_udf("long")
     def cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(cell_encode(lon.to_numpy(), lat.to_numpy(), res))
+        import numpy as np
+
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        ok = ~np.isnan(lo) & ~np.isnan(la)
+        cells = cell_encode(np.nan_to_num(lo), np.nan_to_num(la), res)
+        # NULL in -> NULL out: an unmasked NaN would cast through int64
+        # and CLAMP to the grid corner — the same cell id as a real
+        # point at the extent edge, silently polluting that cell's
+        # aggregates (the SQL oracle yields NULL for NULL coords).
+        out = pd.array(cells, dtype="Int64")
+        out[~ok] = pd.NA
+        return pd.Series(out)
 
     return cell_udf
 
 
-_GEO_URL_RE = r"/geo/(-?\d+),(-?\d+)/"
+# imported, not copied: the fused cell path MUST parse exactly what the
+# unfused lat/lon path parses (a second literal would silently desync)
+from smart_geocubes_spark.operators.geoparse import _GEO_URL_RE  # noqa: E402
 
 
 def make_geoparse_cell_udf(res: int):

@@ -142,13 +142,17 @@ def zonal_value_histogram(
     GROUP-BY-over-pixels formulation produces)."""
     blocks = _roi_blocks(spark, grid, rois, channels)
     zero = F.array_repeat(F.lit(0).cast("long"), n_bins)
+    # hoist the per-pixel bin OUT of the counter-update lambda
+    # (CLAUDE.md rule 6): inside it, floor+pmod would re-evaluate once
+    # per counter slot — n_bins x redundant work per pixel
+    bins = F.transform("block", lambda x: F.pmod(F.floor(x).cast("long"), F.lit(n_bins)))
+    blocks = blocks.withColumn("bins", bins)
     hist = F.aggregate(
-        "block",
+        "bins",
         zero,
-        lambda acc, x: F.transform(
+        lambda acc, b: F.transform(
             acc,
-            lambda c, j: c
-            + F.when(F.pmod(F.floor(x).cast("long"), n_bins) == j, F.lit(1)).otherwise(F.lit(0)),
+            lambda c, j: c + F.when(b == j, F.lit(1)).otherwise(F.lit(0)),
         ),
     )
     return (

@@ -221,3 +221,61 @@ class TestFunnelCounts:
             ).collect()
         }
         assert got == {1: 3, 2: 2, 3: 1}
+
+
+class TestEdgeCaseFixes:
+    """Regression pins for the round-3 operator-kernel review fixes."""
+
+    def test_antimeridian_catalog_bbox_splits(self, spark):
+        import pandas as pd
+
+        from smart_geocubes_spark.operators.spatial_join import (
+            explode_catalog_to_cells,
+        )
+
+        cat = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "patch_id": ["wrap", "plain"],
+                    "minx": [179.0, 10.0],
+                    "miny": [60.0, 60.0],
+                    "maxx": [-179.0, 12.0],
+                    "maxy": [61.0, 61.0],
+                }
+            )
+        )
+        out = explode_catalog_to_cells(spark, cat).toPandas()
+        # no crash (negative span repro), and the wrapped patch covers
+        # cells on BOTH sides of the antimeridian
+        wrap_rows = out[out["patch_id"] == "wrap"]
+        assert len(wrap_rows) >= 2
+        assert wrap_rows["minx"].min() == -180.0 and wrap_rows["maxx"].max() == 180.0
+
+    def test_cell_udf_null_coords_give_null(self, spark):
+        from smart_geocubes_spark.operators.tiles import make_cell_udf
+
+        df = spark.createDataFrame(
+            [(1, -180.0, 84.0), (2, None, 50.0), (3, 10.0, None)],
+            "id long, lon double, lat double",
+        )
+        out = df.select("id", make_cell_udf(8)("lon", "lat").alias("cell")).collect()
+        got = {r["id"]: r["cell"] for r in out}
+        assert got[1] is not None
+        # NULL coords must NOT collapse onto the extent-corner cell
+        assert got[2] is None and got[3] is None
+
+    def test_asof_null_ts_stays_null(self, spark):
+        from smart_geocubes_spark.operators.temporal import asof_nearest
+
+        axis = spark.createDataFrame(
+            [(0, 100), (1, 200)], "time_idx int, epoch long"
+        )
+        ev = spark.createDataFrame(
+            [(1, 90), (2, None)], "event_id long, warc_epoch long"
+        )
+        got = {
+            r["event_id"]: r["time_idx"]
+            for r in asof_nearest(ev, axis).collect()
+        }
+        assert got[1] == 0
+        assert got[2] is None  # not fabricated onto the first step
