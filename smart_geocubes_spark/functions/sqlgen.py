@@ -33,7 +33,9 @@ def morton_cell_sql(lon: str, lat: str, res: int) -> str:
     )
 
 
-def tile_assign_sql(lon: str, lat: str, x0: float, y0: float, tile: float, n_tiles_x: int) -> str:
+def tile_assign_sql(
+    lon: str, lat: str, x0: float, y0: float, tile: float, n_tiles_x: int
+) -> dict[str, str]:
     """(tile_x, tile_y, tile_id) expressions mirroring TileGrid.xy_to_tile
     / tile_id. Returns dict of SQL strings."""
     tx = f"CAST(floor((({lon}) - {x0!r}) / {tile!r}) AS BIGINT)"

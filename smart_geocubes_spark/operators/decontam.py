@@ -46,7 +46,10 @@ def build_automaton(needles: list[str]) -> Automaton:
     out: list[bool] = [False]
     for nd in needles:
         if not nd:
-            continue
+            # contains(text, '') is TRUE in both engines, so silently
+            # skipping would diverge from the EXISTS/contains oracle
+            # ("flag docs containing ANY needle") — refuse loudly
+            raise ValueError("build_automaton: empty needle matches every document")
         s = 0
         for ch in nd:
             nxt = goto[s].get(ch)

@@ -154,8 +154,10 @@ def dedup_minhash_lsh(
     spark: SparkSession, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
 ) -> DataFrame:
     """Full MinHash-LSH dedup: near-dup pairs at Jaccard >= 0.5
-    (verified exactly; LSH only generates candidates). Defaults stay at
-    8/4 for oracle parity; pass 16/8+ for high-recall production runs."""
+    (verified exactly; LSH only generates candidates). Defaults are the
+    production 16/8 (the recall test pins >= 95% capture at J=0.66; 8/4
+    missed ~10%); the oracle SQL is built from the same N_MINHASH /
+    N_BANDS constants, so defaults and oracle cannot diverge."""
     corpus = corpus_df(spark)
     sh = shingles(corpus)
     pairs = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), n_hashes, n_bands)
@@ -365,20 +367,27 @@ def prefix_superseded(
     hash-shuffle on the bucket + per-bucket sort; no global ordering
     structure is ever built.
     """
-    key = F.col(key_col)
-    bucket = F.substring(key, 1, bucket_chars)
-    # guard the exactness contract: a key shorter than the bucket width
-    # could have extensions in other buckets -> silent false negatives.
-    guarded = F.when(F.length(key) >= bucket_chars, key).otherwise(
+    raw = F.col(key_col)
+    # guard the exactness contract in a PRE-WINDOW PROJECTION, not
+    # inside lead(): a key shorter than the bucket width could have
+    # extensions in other buckets -> silent false negatives, and a
+    # lead()-embedded guard is never evaluated for the last (or only)
+    # row of a partition — exactly the single-row-bucket case a unique
+    # short key produces. The projection feeds the shuffle hash, so it
+    # runs for every row unconditionally.
+    guarded = F.when(F.length(raw) >= bucket_chars, raw).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"prefix_superseded: key shorter than bucket_chars={bucket_chars}: "),
-                key,
+                raw,
             )
         )
     )
-    w = Window.partitionBy(bucket).orderBy(key_col, "doc_id")
-    nxt = F.lead(guarded).over(w)
+    docs = docs.select("doc_id", guarded.alias("_pkey"))
+    key = F.col("_pkey")
+    bucket = F.substring(key, 1, bucket_chars)
+    w = Window.partitionBy(bucket).orderBy("_pkey", "doc_id")
+    nxt = F.lead(key).over(w)
     superseded = nxt.isNotNull() & (F.substring(nxt, 1, F.length(key).cast("int")) == key)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),

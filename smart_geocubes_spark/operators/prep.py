@@ -22,9 +22,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from smart_geocubes_spark.geo.cells import cell_encode
+from smart_geocubes_spark.operators.geoparse import _GEO_URL_RE as _GEO_URL_PATTERN
 from smart_geocubes_spark.text.extract import extract_text
 
-_GEO_URL_RE = re.compile(r"/geo/(-?\d+),(-?\d+)/")
+# compiled from the SHARED pattern (operators/geoparse.py): the fused
+# prep kernel must parse exactly what the unfused geoparse path parses
+_GEO_URL_RE = re.compile(_GEO_URL_PATTERN)
 
 PREP_SCHEMA = (
     "page_id long, text_len long, lat double, lon double, cell12 long, warc_epoch long"
@@ -37,20 +40,26 @@ def _prep_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lat = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64) / 1e5
         lon = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64) / 1e5
         has = ~np.isnan(lat) & ~np.isnan(lon)
+        # subset FIRST: the kernel drops no-geo rows, and extract_text
+        # (HTML parse per page) dominates the batch cost — running it
+        # on rows that are discarded one line later is pure waste on
+        # mostly-no-geo corpora
+        keep = np.flatnonzero(has)
+        html_kept = b["html"].iloc[keep]
         text_len = np.fromiter(
-            (len(extract_text(h)) for h in b["html"]), dtype=np.int64, count=len(b)
+            (len(extract_text(h)) for h in html_kept), dtype=np.int64, count=len(keep)
         )
-        out = pd.DataFrame(
+        lat_k, lon_k = lat[keep], lon[keep]
+        yield pd.DataFrame(
             {
-                "page_id": b["page_id"].to_numpy(),
+                "page_id": b["page_id"].to_numpy()[keep],
                 "text_len": text_len,
-                "lat": lat,
-                "lon": lon,
-                "cell12": np.where(has, cell_encode(np.nan_to_num(lon), np.nan_to_num(lat), 12), -1),
-                "warc_epoch": b["warc_epoch"].to_numpy(),
+                "lat": lat_k,
+                "lon": lon_k,
+                "cell12": cell_encode(lon_k, lat_k, 12),
+                "warc_epoch": b["warc_epoch"].to_numpy()[keep],
             }
         )
-        yield out[has]
 
 
 def prep_pages(pages: DataFrame) -> DataFrame:

@@ -179,22 +179,52 @@ def ann_ivf_topk(
             "(C ~ sqrt(n) is the usual IVF choice)"
         )
     if len(cent_rows) <= max_literal_centroids:
+        import math
+
+        def _nb_lit(cv) -> float:
+            # left-associative fold + IEEE sqrt: bit-identical to what
+            # the in-plan aggregate/sqrt computed, so hoisting it to a
+            # compile-time literal cannot change a single score
+            s = 0.0
+            for x in cv:
+                s += float(x) * float(x)
+            return math.sqrt(s)
+
         cent_arr = F.array(
             *[
                 F.struct(
                     F.lit(int(r["cid"])).alias("cid"),
                     F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+                    F.lit(_nb_lit(r["cv"])).alias("nb"),
                 )
                 for r in cent_rows
             ]
         )
+        # hoist the document norm OUT of the per-centroid lambda
+        # (CLAUDE.md rule 6: _cos_cols inside the transform re-ran the
+        # O(dim) norm fold once per centroid — C x redundant work)
+        na = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+        )
+        base = base.withColumn("_nav", na)
+
+        def _dot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+            )
+
         scored = F.transform(
             cent_arr,
             lambda c: F.struct(
-                _cos_cols(F.col("v"), c["cv"]).alias("s"), (-c["cid"]).alias("negcid")
+                (_dot(F.col("v"), c["cv"]) / (F.col("_nav") * c["nb"])).alias("s"),
+                (-c["cid"]).alias("negcid"),
             ),
         )
-        lists = base.withColumn("list_id", -F.array_max(scored)["negcid"])
+        lists = base.withColumn("list_id", -F.array_max(scored)["negcid"]).drop("_nav")
     else:
         # larger quantizers overflow codegen as literals: one Arrow hop
         # with the (C x dim) centroid matrix in the closure — still a
@@ -205,12 +235,17 @@ def ann_ivf_topk(
         by_cid = {int(r["cid"]): r["cv"] for r in cent_rows}
         cm = np.array([by_cid[c] for c in cids], dtype=np.float64)
         cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+        # the (C x dim) matrix can be tens of MB at max_centroids: ship
+        # it ONCE per executor as a Spark broadcast, not pickled into
+        # every task's closure (same rule as decontam.py's automaton)
+        bc = emb.sparkSession.sparkContext.broadcast((cids, cm))
 
         @F.pandas_udf("long")
         def assign_udf(vec: pd.Series) -> pd.Series:
+            cids_b, cm_b = bc.value
             m = np.stack(vec.to_numpy()).astype(np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
-            return pd.Series(cids[np.argmax(m @ cm.T, axis=1)])
+            return pd.Series(cids_b[np.argmax(m @ cm_b.T, axis=1)])
 
         # expensive kernel feeding an exchange: pin ONE evaluation
         # (CLAUDE.md rule 4 — Catalyst double-evals deterministic UDFs)

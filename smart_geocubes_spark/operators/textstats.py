@@ -26,7 +26,8 @@ FP_GRAM = 8
 
 def lang_id(docs: DataFrame, keep: bool = False) -> DataFrame:
     """Marker-word counts per language + argmax prediction (ties ->
-    alphabetical first, deterministic). ``keep=True`` preserves the
+    LANG_MARKERS insertion order: en, then de, then fr — deterministic,
+    mirrored by the oracle's >= chain). ``keep=True`` preserves the
     input columns so the op composes into single-pass pipelines (the
     corpus funnel chains lang -> quality -> tokens with ZERO joins —
     all three are projections of text)."""

@@ -83,6 +83,15 @@ class TestPrefixSuperseded:
         with pytest.raises(Exception, match="shorter than bucket_chars"):
             prefix_superseded(df, bucket_chars=4).collect()
 
+    def test_short_key_raises_even_in_single_row_bucket(self, spark):
+        # the guard must NOT live inside lead(): Spark never evaluates
+        # the lead input for the only row of a partition, so a unique
+        # short key ('ab' alone in bucket 'ab') would silently escape —
+        # while 'abcd' (bucket 'abcd') extends it across buckets.
+        df = self._df(spark, ["ab", "abcd"])
+        with pytest.raises(Exception, match="shorter than bucket_chars"):
+            prefix_superseded(df, bucket_chars=4).collect()
+
 
 class TestKMV:
     def _vals(self, spark, it):
@@ -279,3 +288,29 @@ class TestEdgeCaseFixes:
         }
         assert got[1] == 0
         assert got[2] is None  # not fabricated onto the first step
+
+
+def test_embedding_fixture_keeps_tau_margin():
+    """The embedding near-dup kernel computes cosines via
+    normalize-then-GEMM while its oracles fold dot/(sqrt*sqrt) —
+    different IEEE rounding orders. That is safe ONLY while no pair's
+    cosine sits within rounding distance of the tau=0.45 threshold.
+    Pin the margin (currently ~5.5e-4, nine orders above double
+    rounding noise) so a fixture regeneration that lands a pair on the
+    boundary fails HERE with a clear message instead of as a
+    mysterious value-hash mismatch in the parity gate."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.connect().execute(
+        "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet'"
+    ).fetchall()
+    m = np.array([r[0] for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = (m @ m.T)[np.triu_indices(len(m), 1)]
+    margin = np.abs(cos - 0.45).min()
+    assert margin > 1e-9, (
+        f"a vector pair's cosine is within {margin} of tau=0.45 — the "
+        "GEMM kernel and the fold-based oracle may now disagree on it; "
+        "regenerate the fixture or adjust tau"
+    )

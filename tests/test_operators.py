@@ -395,9 +395,16 @@ class TestAhoCorasick:
         ]
         for t in texts:
             assert _contains_any(auto, t) == any(n in t for n in needles), t
-        # single-needle degenerate + empty needle ignored
-        auto2 = build_automaton(["", "zz"])
+        # single-needle degenerate
+        auto2 = build_automaton(["zz"])
         assert _contains_any(auto2, "azza") and not _contains_any(auto2, "az")
+        # empty needle: contains(text, '') is TRUE in both engines, so
+        # silently skipping it would diverge from the EXISTS/contains
+        # oracle — the constructor must refuse loudly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="empty needle"):
+            build_automaton(["", "zz"])
 
     def test_ac_equals_exists_contains_on_corpus(self, spark):
         """The distributed AC pass must flag exactly the docs the JVM
