@@ -104,130 +104,22 @@ def materialize_job(spark, n_channels: int = 1) -> tuple[int, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def chunk_compute_job(spark, n_times: int, chunk_px: int = 200) -> int:
-    """The scaling-evidence job (north rule: same job at N and 4N
-    parallelism): tile-materialization compute — generate every
-    (tile, time) chunk's block array in an Arrow ``mapInPandas`` kernel
-    and zonally reduce it — i.e. the engine's materialize path minus
-    the final disk write, so the measurement isolates scalable work.
-    3840 tiles x n_times chunks, ~40k px each."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    tiles = spark.range(3840).selectExpr(
-        "id AS tile_id",
-        "CAST(id % 240 AS LONG) AS tile_x",
-        "CAST(floor(id / 240) AS LONG) AS tile_y",
-    )
-    cand = tiles.crossJoin(
-        spark.range(n_times).selectExpr("CAST(id AS INT) AS time_idx")
-    ).repartition(spark.sparkContext.defaultParallelism * 3)
-    n_px = chunk_px * chunk_px
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ramp = np.arange(n_px, dtype=np.float64) * 0.5
-        for b in batches:
-            base = (
-                b["tile_y"].to_numpy(np.float64) * 1000
-                + b["tile_x"].to_numpy(np.float64)
-                + b["time_idx"].to_numpy(np.float64) * 10
-            )
-            # slice the (rows x n_px) block matrix to bound peak memory
-            means = np.empty(len(base)); mins = np.empty(len(base)); maxs = np.empty(len(base))
-            for lo in range(0, len(base), 200):
-                hi = min(lo + 200, len(base))
-                blocks = base[lo:hi, None] + ramp[None, :]
-                means[lo:hi] = blocks.mean(axis=1)
-                mins[lo:hi] = blocks.min(axis=1)
-                maxs[lo:hi] = blocks.max(axis=1)
-            yield pd.DataFrame(
-                {
-                    "tile_id": b["tile_id"],
-                    "time_idx": b["time_idx"],
-                    "mean_val": means,
-                    "min_val": mins,
-                    "max_val": maxs,
-                }
-            )
-
-    stats = cand.mapInPandas(
-        gen, "tile_id long, time_idx int, mean_val double, min_val double, max_val double"
-    )
-    stats.groupBy("tile_id").agg(
-        F.sum("mean_val"), F.min("min_val"), F.max("max_val")
-    ).write.format("noop").mode("overwrite").save()
-    return 3840 * n_times
-
-
-def text_kernel_job(spark, n_pages: int) -> int:
-    """The scaling-evidence job v2 — the engine's webtext ingest kernel:
-    synthesize html in-kernel -> FROZEN extract_text -> regex geoparse ->
-    Morton cell encode -> tiny groupBy. One fused Arrow hop, minimal JVM
-    traffic, so the measurement tracks the scalable per-page compute the
-    north metric cares about (pages ingested+joined per second)."""
-    import re
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from smart_geocubes_spark.geo.cells import cell_encode
-    from smart_geocubes_spark.text.extract import extract_text
-
-    geo_re = re.compile(r"/geo/(-?\d+),(-?\d+)/")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            ids = b["id"].to_numpy()
-            h1 = (ids * 1103515245 + 12345) % 2147483648
-            h2 = (h1 * 1103515245 + 54321) % 2147483648
-            lat = 6000000 + h1 % 2400000
-            lon = (h2 % 36000000) - 18000000
-            urls = [
-                f"https://host{a % 50}.example.com/geo/{la},{lo}/page-{a}"
-                for a, la, lo in zip(ids, lat, lon)
-            ]
-            htmls = [
-                (
-                    f"<html><head><title>page {a}</title></head><body><p>geo "
-                    f"{la},{lo}</p><p>lorem ipsum dolor {a}</p></body></html>"
-                ).encode()
-                for a, la, lo in zip(ids, lat, lon)
-            ]
-            tl = np.fromiter(
-                (len(extract_text(h)) for h in htmls), dtype=np.int64, count=len(htmls)
-            )
-            m = [geo_re.search(u) for u in urls]
-            la = np.array([int(x.group(1)) for x in m], dtype=np.float64) / 1e5
-            lo = np.array([int(x.group(2)) for x in m], dtype=np.float64) / 1e5
-            cell = cell_encode(lo, la, 12)
-            yield pd.DataFrame({"cell": cell >> 8, "text_len": tl})
-
-    df = spark.range(n_pages, numPartitions=spark.sparkContext.defaultParallelism)
-    out = df.mapInPandas(gen, "cell long, text_len long")
-    out.groupBy("cell").agg(F.count("*"), F.sum("text_len")).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    return n_pages
-
-
-def _mp_kernel(arg):
-    """The EXACT per-page kernel, bare multiprocessing (no Spark):
-    measures what this box itself scales to for the identical work."""
+def _page_payload(ids):
+    """THE per-page scaling kernel: synthesize html -> FROZEN
+    extract_text -> regex geoparse -> Morton cell encode. ONE
+    definition used by BOTH the Spark mapInPandas job and the bare-
+    multiprocessing calibration, so the "same-window calibration of the
+    IDENTICAL kernel" claim is structural, not manual discipline — any
+    edit changes both sides or neither. Returns (cell, text_len)."""
     import re
 
     import numpy as np
 
     from smart_geocubes_spark.geo.cells import cell_encode
+    from smart_geocubes_spark.operators.geoparse import _GEO_URL_RE
     from smart_geocubes_spark.text.extract import extract_text
 
-    geo_re = re.compile(r"/geo/(-?\d+),(-?\d+)/")
-    lo_i, n = arg
-    ids = np.arange(lo_i, lo_i + n)
+    geo_re = re.compile(_GEO_URL_RE)
     h1 = (ids * 1103515245 + 12345) % 2147483648
     h2 = (h1 * 1103515245 + 54321) % 2147483648
     lat = 6000000 + h1 % 2400000
@@ -243,34 +135,46 @@ def _mp_kernel(arg):
         ).encode()
         for a, la, lo in zip(ids, lat, lon)
     ]
-    tl = [len(extract_text(h)) for h in htmls]
+    tl = np.fromiter(
+        (len(extract_text(h)) for h in htmls), dtype=np.int64, count=len(htmls)
+    )
     m = [geo_re.search(u) for u in urls]
     la = np.array([int(x.group(1)) for x in m], dtype=np.float64) / 1e5
     lo = np.array([int(x.group(2)) for x in m], dtype=np.float64) / 1e5
-    cell_encode(lo, la, 12)
-    return sum(tl)
+    return cell_encode(lo, la, 12), tl
 
 
-def _host_ceiling(chunk: int = 40000) -> dict:
-    """Bare-multiprocessing run of the IDENTICAL kernel at 8 and 32
-    procs: the box's own 8->32 scaling for this work (the shared memory
-    subsystem caps it well below 4x — a real N->4N cluster adds whole
-    nodes and doesn't share one memory bus). Spark's efficiency is
-    reported both raw and relative to this ceiling."""
-    import multiprocessing as mp
+def text_kernel_job(spark, n_pages: int) -> int:
+    """The scaling-evidence job v2 — the engine's webtext ingest kernel
+    (_page_payload) in one fused Arrow hop + tiny groupBy, minimal JVM
+    traffic, so the measurement tracks the scalable per-page compute the
+    north metric cares about (pages ingested+joined per second)."""
+    from collections.abc import Iterator
 
-    thr = {}
-    for n in (8, 32):
-        tasks = [(i * chunk, chunk) for i in range(n * 4)]
-        t0 = time.time()
-        with mp.Pool(n) as p:
-            p.map(_mp_kernel, tasks)
-        thr[n] = len(tasks) * chunk / (time.time() - t0)
-    return {
-        "mp_rows_per_sec_8": round(thr[8], 1),
-        "mp_rows_per_sec_32": round(thr[32], 1),
-        "ceiling_efficiency": round((thr[32] / thr[8]) / 4.0, 3),
-    }
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cell, tl = _page_payload(b["id"].to_numpy())
+            yield pd.DataFrame({"cell": cell >> 8, "text_len": tl})
+
+    df = spark.range(n_pages, numPartitions=spark.sparkContext.defaultParallelism)
+    out = df.mapInPandas(gen, "cell long, text_len long")
+    out.groupBy("cell").agg(F.count("*"), F.sum("text_len")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return n_pages
+
+
+def _mp_kernel(arg):
+    """The IDENTICAL kernel, bare multiprocessing (no Spark): measures
+    what this box itself scales to for the same work (_page_payload)."""
+    import numpy as np
+
+    lo_i, n = arg
+    _, tl = _page_payload(np.arange(lo_i, lo_i + n))
+    return int(tl.sum())
 
 
 def _cpu_stat() -> tuple[int, int]:
@@ -377,17 +281,30 @@ def run_scaling_pair(n_rows: int = 10_000_000, reps: int = 2, max_extra_rounds: 
     small: dict[int, list[float]] = {2: [], 8: []}
     n_small = max(n_rows // 2, 1_000_000)
 
+    small_errors: list[str] = []
+
     def _run_small(cores: int) -> None:
+        # a crashing or hanging SMALL-pair worker must never discard the
+        # already-measured (expensive) saturated 8->32 results: catch
+        # everything here, record the reason, and let the caller report
+        # efficiency_2_to_8_unsaturated=None with the error attached
         time.sleep(2)
-        p = _sp.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker",
-             str(cores), str(n_small)],
-            capture_output=True, text=True, timeout=900,
-        )
+        try:
+            p = _sp.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+                 str(cores), str(n_small)],
+                capture_output=True, text=True, timeout=900,
+            )
+        except Exception as e:
+            small_errors.append(f"local[{cores}]: {type(e).__name__}: {str(e)[:150]}")
+            return
         for line in p.stdout.splitlines():
             if line.startswith("SCALING_SEC "):
                 small[cores].append(float(line.split()[1]))
-                break
+                return
+        small_errors.append(
+            f"local[{cores}]: no SCALING_SEC in output; stderr: {p.stderr[-150:]}"
+        )
 
     def _eff_small() -> float | None:
         if small[2] and small[8]:
@@ -433,6 +350,7 @@ def run_scaling_pair(n_rows: int = 10_000_000, reps: int = 2, max_extra_rounds: 
         "local2_sec_runs_small": [round(x, 2) for x in small[2]],
         "local8_sec_runs_small": [round(x, 2) for x in small[8]],
         "rows_small_pair": n_small,
+        **({"small_pair_errors": small_errors} if small_errors else {}),
     }
 
 
@@ -470,10 +388,18 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    import re as _re
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    mult = int(os.environ.get("SPARK_GRAFT_MULT", "128"))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    mult = int(os.environ.get("SPARK_GRAFT_MULT", "8"))
+    # tolerant sf parse: a dir not named sf<float> must not crash the
+    # harness before it can emit its one JSON line
+    _m = _re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    try:
+        sf = float(_m.group(1)) if _m else None
+    except ValueError:
+        sf = None
 
     # scaling first: it needs the box in its cleanest state (the
     # shared host visibly penalizes sustained all-core load)
@@ -494,12 +420,13 @@ def main() -> None:
         tiles, mat_sec = tiles2, mat_sec2
     tiles_per_sec = round(tiles / mat_sec, 1)
 
-    # spatial-join throughput at the headline core count (mult=8 so the
-    # measurement is compute- not overhead-dominated; workers are warm)
+    # spatial-join throughput at the headline core count (default
+    # mult=8 keeps the measurement compute- not overhead-dominated;
+    # SPARK_GRAFT_MULT overrides — it is wired through, not decorative)
     join_sec = None
     for _ in range(2):
         t0 = time.time()
-        n_rows = flagship_pipeline(spark, sf_dir, mult=8, cores=cpus)
+        n_rows = flagship_pipeline(spark, sf_dir, mult=mult, cores=cpus)
         dt = time.time() - t0
         join_sec = dt if join_sec is None else min(join_sec, dt)
     join_rows_per_sec = round(n_rows / join_sec, 1)

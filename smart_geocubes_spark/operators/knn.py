@@ -44,7 +44,6 @@ def _topk(cand: DataFrame, k: int) -> DataFrame:
 
 
 def distance_join(
-    spark: SparkSession,
     points: DataFrame,
     queries: DataFrame,
     radius: float,
@@ -146,7 +145,10 @@ def knn_join(
     # Only the per-qid STATS (|Q| rows) come to the driver — the top-k
     # rows themselves stay distributed (a toPandas/createDataFrame
     # round-trip here would make the exact path driver-memory-bound in
-    # |Q|*k); the ok-set is a tiny literal list pushed into the filter.
+    # |Q|*k). Filter on NOT-IN the FAILED set: typically almost every
+    # query passes the bound, so the failed list is the tiny literal
+    # (an In-list over `ok` would serialize thousands of ids into the
+    # plan and scan them per row); no filter at all when nothing failed.
     bound = (radius_cells * cell_deg) ** 2
     stats = (
         prov.groupBy("qid")
@@ -156,11 +158,10 @@ def knn_join(
     ok = {r_.qid for r_ in stats if r_.n >= k and r_.dk < bound}
     failed = [q for q in queries_pdf["qid"] if q not in ok]
 
-    exact = prov.filter(F.col("qid").isin([int(q) for q in ok])).select(
-        "qid", "neighbor_id", "rank"
-    )
+    exact = prov.select("qid", "neighbor_id", "rank")
     if not failed:
         return exact
+    exact = exact.filter(~F.col("qid").isin([int(q) for q in failed]))
 
     # fallback: brute force for the (few) unguaranteed queries
     fq = queries_pdf[queries_pdf["qid"].isin(failed)]

@@ -235,7 +235,7 @@ def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = pts.filter(F.col("page_id") % 500 == 0).select(
         F.col("page_id").alias("qid"), F.col("lon").alias("qx"), F.col("lat").alias("qy")
     )
-    j = distance_join(spark, points, queries, radius=0.8)
+    j = distance_join(points, queries, radius=0.8)
     return j.groupBy("qid").agg(
         F.count("*").cast("long").alias("n_neighbors"),
         F.sum("point_id").cast("long").alias("sum_ids"),

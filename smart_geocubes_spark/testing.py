@@ -84,6 +84,8 @@ def run_gate(spark, sf_dir: str, name: str, query_fn, oracle: str | None) -> lis
     if oracle is None:
         return [] if len(spark_pdf) >= 0 else ["unreachable"]
     con = duckdb_connection(sf_dir)
-    duck_pdf = con.execute(oracle).df()
-    con.close()
+    try:
+        duck_pdf = con.execute(oracle).df()
+    finally:
+        con.close()  # no leak when the oracle itself raises
     return compare_frames(spark_pdf, duck_pdf)

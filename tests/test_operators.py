@@ -346,9 +346,9 @@ class TestDistanceJoinSelfExclusion:
         queries = spark.createDataFrame(
             [(1, 0.1, 0.0)], "qid long, qx double, qy double"
         )
-        assert distance_join(spark, points, queries, radius=0.5).count() == 0
+        assert distance_join(points, queries, radius=0.5).count() == 0
         got = distance_join(
-            spark, points, queries, radius=0.5, exclude_self=False
+            points, queries, radius=0.5, exclude_self=False
         ).collect()
         assert [(r.qid, r.point_id) for r in got] == [(1, 1)]
 
