@@ -41,3 +41,17 @@ def tile_assign_sql(
     tx = f"CAST(floor((({lon}) - {x0!r}) / {tile!r}) AS BIGINT)"
     ty = f"CAST(floor(({y0!r} - ({lat})) / {tile!r}) AS BIGINT)"
     return {"tile_x": tx, "tile_y": ty, "tile_id": f"({ty} * {n_tiles_x} + {tx})"}
+
+
+# deterministic sampling coin, shared by engine AND oracle sides of the
+# stratified / host-quota samplers — ONE definition so the four call
+# sites cannot drift. Reduce mod 2^20 BEFORE the Knuth multiply:
+# col * 2654435761 overflows int64 (ANSI throws) past col ~3.5e9 —
+# exactly the id scale these ops document themselves for
+# (2^20 * 2654435761 < 2^63). Caller contract: col is non-negative
+# (both engines' % is sign-of-dividend).
+KNUTH_COIN_MOD = 4096
+
+
+def knuth_coin_sql(col: str) -> str:
+    return f"(({col} % 1048576) * 2654435761) % {KNUTH_COIN_MOD}"

@@ -34,23 +34,3 @@ def points_in_polygon(
         x_cross = vx + (py - vy) * (vx2 - vx) / (vy2 - vy)
     crossings = cond & (px < x_cross)
     return (crossings.sum(axis=1) % 2).astype(bool)
-
-
-def points_in_polygons_batch(
-    px: np.ndarray,
-    py: np.ndarray,
-    poly_id_per_point: np.ndarray,
-    polys: dict[int, tuple[np.ndarray, np.ndarray]],
-) -> np.ndarray:
-    """Refine candidate (point, polygon) pairs: each row i tests point i
-    against ``polys[poly_id_per_point[i]]``. Groups rows by polygon so
-    each polygon's edges are broadcast once (vectorized per group)."""
-    out = np.zeros(len(px), dtype=bool)
-    px = np.asarray(px, dtype=np.float64)
-    py = np.asarray(py, dtype=np.float64)
-    poly_id_per_point = np.asarray(poly_id_per_point)
-    for pid in np.unique(poly_id_per_point):
-        sel = poly_id_per_point == pid
-        vx, vy = polys[int(pid)]
-        out[sel] = points_in_polygon(px[sel], py[sel], vx, vy)
-    return out

@@ -43,7 +43,9 @@ from smart_geocubes_spark.sources.synth import (
 # shared oracle CTE prefix (DuckDB): pages + patches + geoparsed points
 # ---------------------------------------------------------------------------
 
-_GEO_RE = r"/geo/(-?\d+),(-?\d+)/"
+# imported, not copied (same rule as operators/tiles.py): the oracle
+# must parse exactly what the engine's geoparse kernel parses
+from smart_geocubes_spark.operators.geoparse import _GEO_URL_RE as _GEO_RE  # noqa: E402
 
 ORACLE_PREFIX = f"""WITH pages AS ({pages_sql("orders")}),
 patches AS ({patches_sql("duckdb")}),
@@ -531,14 +533,23 @@ def q_event_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events,
     )
 
+    import shutil
+
     path = tempfile.mkdtemp(prefix="evcube_")
-    create_cube(path, CubeSpec(grid=GRID, channels=("dem", "slope"), time_epochs=None))
-    materialize(spark, path, ZONAL_ROIS[0])
-    ev = read_events(spark, path)
-    return ev.groupBy("chunk_key", "tile_id", "channel").agg(
-        F.count("*").cast("long").alias("n_events"),
-        F.sum("n_bytes").cast("long").alias("n_bytes"),
-    )
+    try:
+        create_cube(path, CubeSpec(grid=GRID, channels=("dem", "slope"), time_epochs=None))
+        materialize(spark, path, ZONAL_ROIS[0])
+        ev = read_events(spark, path)
+        out = ev.groupBy("chunk_key", "tile_id", "channel").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+        )
+        # materialize the (tiny) rollup so the temp cube can be deleted
+        # NOW instead of leaking an evcube_* dir per invocation (the
+        # lazy frame would otherwise still need the files on disk)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _event_durations_sql() -> str:
@@ -1409,11 +1420,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_geocubes_spark.operators.textstats import lang_id
 
     ensure_base_views(spark, sf_dir)
+    from smart_geocubes_spark.functions.sqlgen import knuth_coin_sql
+
     d = lang_id(spark.table("documents"), keep=True).select("doc_id", "pred_lang")
-    # reduce mod 2^20 BEFORE the Knuth multiply: doc_id * 2654435761
-    # overflows int64 (ANSI throws) past doc_id ~3.5e9 — exactly the
-    # scale this op documents itself for. (2^20 * 2654435761 < 2^63.)
-    coin = F.pmod(F.pmod(F.col("doc_id"), F.lit(1048576)) * F.lit(2654435761), F.lit(4096))
+    # the coin expression is THE shared string (sqlgen.knuth_coin_sql,
+    # incl. the int64-overflow rationale) — engine and oracle evaluate
+    # the identical text
+    coin = F.expr(knuth_coin_sql("doc_id"))
     quota = (
         F.when(F.col("pred_lang") == "en", F.lit(2048))
         .when(F.col("pred_lang") == "de", F.lit(1024))
@@ -1435,9 +1448,15 @@ SQL_STRATIFIED_SAMPLE = r"""WITH lang AS (
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang
 FROM lang
-WHERE ((doc_id % 1048576) * 2654435761) % 4096 <
+WHERE __COIN__ <
       CASE pred_lang WHEN 'en' THEN 2048 WHEN 'de' THEN 1024 ELSE 512 END
 """
+
+# spliced (not retyped): the coin is sqlgen.knuth_coin_sql — the SAME
+# string the Spark side evaluates via F.expr
+from smart_geocubes_spark.functions.sqlgen import knuth_coin_sql as _knuth  # noqa: E402
+
+SQL_STRATIFIED_SAMPLE = SQL_STRATIFIED_SAMPLE.replace("__COIN__", _knuth("doc_id"))
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1588,21 +1607,29 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     export as epoch BIGINTs (1-day windows are epoch-aligned in both
     engines)."""
     import os
+    import shutil
     import tempfile
-    import uuid as _uuid
 
     from smart_geocubes_spark.streaming.pipeline import stream_windowed_event_counts
 
     # FileStreamSource needs a DIRECTORY; the fixture ships events as a
     # single file — expose it through a symlinked dir (no copy)
     src = os.path.join(sf_dir, "events.parquet")
+    d = None
     if os.path.isfile(src):
         d = tempfile.mkdtemp(prefix="evstream_")
         os.symlink(src, os.path.join(d, "part-0.parquet"))
         src = d
-    return stream_windowed_event_counts(
-        spark, src, query_name=f"stream_event_counts_{_uuid.uuid4().hex[:8]}"
-    )
+    try:
+        # availableNow terminates, so a FIXED sink name is safe and the
+        # memory table is REPLACED across gate runs (a uuid-per-call
+        # name would accumulate one driver-memory temp view per run)
+        return stream_windowed_event_counts(
+            spark, src, query_name="stream_event_counts_gate"
+        )
+    finally:
+        if d is not None:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 SQL_STREAM_WINDOW_COUNTS = """SELECT
@@ -2208,7 +2235,7 @@ SQL_URL_CANONICALIZE = f"""{ORACLE_PREFIX}
 SELECT page_id,
        lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
        regexp_extract(url, '^https?://[^/]+(/.*)?$', 1) AS path,
-       regexp_replace(regexp_replace(url, '#.*$', ''), '/$', '') AS url_canon
+       regexp_replace(regexp_replace(url, '#.*$', '', 'g'), '/$', '', 'g') AS url_canon
 FROM pages
 """
 
@@ -2340,8 +2367,7 @@ def q_host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_base_views(spark, sf_dir)
     pages = spark.sql(pages_sql("orders"))
-    coin = ((F.col("page_id") % F.lit(1048576)) * F.lit(2654435761)) % F.lit(4096)
-    p = pages.select("page_id", "host_id").withColumn("coin", coin)
+    p = pages.select("page_id", "host_id").withColumn("coin", F.expr(_knuth("page_id")))
     w = Window.partitionBy("host_id").orderBy("coin", "page_id")
     wc = Window.partitionBy("host_id")
     ranked = p.withColumn("rn", F.row_number().over(w)).withColumn(
@@ -2363,7 +2389,7 @@ r AS (
   SELECT host_id, page_id,
          row_number() OVER (
            PARTITION BY host_id
-           ORDER BY ((page_id % 1048576) * 2654435761) % 4096, page_id
+           ORDER BY {_knuth("page_id")}, page_id
          ) AS rn,
          count(*) OVER (PARTITION BY host_id) AS n_total
   FROM pages

@@ -35,12 +35,21 @@ def test_oracle_series_bound_covers_documents():
     message instead of a confusing value-hash mismatch."""
     import duckdb
 
-    max_len = duckdb.connect().execute(
+    con = duckdb.connect()
+    max_len = con.execute(
         f"SELECT max(length(text)) FROM '{SF}/documents.parquet'"
     ).fetchone()[0]
     # largest window any oracle slides is 13 chars (shingle k=13)
     assert max_len + 13 <= 600, (
         f"documents max text length {max_len} outgrew the oracle "
+        "generate_series(1, 600) bound — raise the bound in queries.py"
+    )
+    # the bigram CTE enumerates TOKEN positions with the same bound
+    max_toks = con.execute(
+        f"SELECT max(len(string_split(text, ' '))) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert max_toks + 2 <= 600, (
+        f"documents max token count {max_toks} outgrew the oracle "
         "generate_series(1, 600) bound — raise the bound in queries.py"
     )
 
