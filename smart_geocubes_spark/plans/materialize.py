@@ -31,8 +31,10 @@ Scale notes (100 TB cube, 1000 executors):
 - the kernel emits a per-chunk EVENT row alongside each block
   (chunk_key, partition_id, t_start_us, t_end_us, n_bytes — the
   reference's per-patch event log, ``core/backend.py:23-28,59-93``,
-  with Spark partition ids standing in for thread ids); events are
-  committed per batch and lineage-gated like blocks, and
+  with Spark partition ids standing in for thread ids); event rows
+  live INSIDE the block files (one write job per fill — read_events
+  column-prunes them out, lineage-gated like blocks; only compaction
+  materializes a separate ``events/`` history copy), and
   :func:`event_durations` is the start/end -> duration merge the
   reference's ``visualize_state`` renders.
 """
@@ -281,25 +283,38 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     here one row per chunk written, with the Arrow-batch [t_start_us,
     t_end_us] window of its generation and the task partition — the
     thread analog — that produced it). Visibility is LINEAGE-gated: a
-    crashed batch's events are invisible, exactly like its blocks."""
-    committed = {os.path.basename(b) for b in _lineage_batches(path)}
-    edir = os.path.join(path, "events")
-    dirs = (
-        [
-            os.path.join(edir, b)
-            for b in sorted(os.listdir(edir))
-            if b in committed and os.path.exists(os.path.join(edir, b, "_SUCCESS"))
-        ]
-        if os.path.isdir(edir)
-        else []
-    )
+    crashed batch's events are invisible, exactly like its blocks.
+
+    Storage: fills do NOT write a separate events copy — the event
+    columns live inside the block files (BLOCK_WRITE_SCHEMA) and this
+    read is COLUMN-PRUNED (parquet never touches the ``block`` arrays),
+    so a fill is one write job, not two (round-3 verdict item #3: the
+    read-back + second write halved tiles/sec). Only compaction
+    materializes an ``events/batch=`` dir — the carried history of the
+    batches it shadows, which read_events prefers over that batch's
+    rewritten blocks (whose batch_id column holds the NEW id)."""
+    committed = sorted(os.path.basename(b) for b in _lineage_batches(path))
+    dirs = []
+    for b in committed:
+        ed = os.path.join(path, "events", b)
+        bd = os.path.join(path, "blocks", b)
+        if os.path.exists(os.path.join(ed, "_SUCCESS")):
+            dirs.append(ed)
+        elif os.path.isdir(bd):
+            dirs.append(bd)
     if not dirs:
         return spark.createDataFrame([], EVENT_SCHEMA)
     # a compacted batch carries exact COPIES of prior batches' events
     # (history preservation); until vacuum removes the originals both
     # are visible — drop the byte-identical duplicates. Metadata-sized
-    # table, so the distinct is cheap.
-    return spark.read.schema(EVENT_SCHEMA).parquet(*dirs).dropDuplicates()
+    # table, so the distinct is cheap. Legacy pre-event-format block
+    # files have no event columns (schema read fills NULL): drop them.
+    return (
+        spark.read.schema(EVENT_SCHEMA)
+        .parquet(*dirs)
+        .filter(F.col("t_start_us").isNotNull())
+        .dropDuplicates()
+    )
 
 
 def event_durations(spark: SparkSession, path: str) -> DataFrame:
@@ -455,17 +470,8 @@ def materialize(
     )
     block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
     blocks.write.mode("overwrite").parquet(block_dir)
-
-    # split the per-chunk event rows out of the written files — a
-    # COLUMN-PRUNED read-back (never touches the `block` arrays), so
-    # the generation kernel ran exactly once. Events land before the
-    # lineage commit (they record what happened, crash or not);
-    # read_events gates visibility on the commit like blocks do.
-    ev_cols = [f.split()[0] for f in EVENT_SCHEMA.split(", ")]
-    events = spark.read.parquet(block_dir).select(*ev_cols)
-    events.write.mode("overwrite").parquet(
-        os.path.join(path, "events", f"batch={batch_id}")
-    )
+    # the per-chunk event rows STAY inside the block files (read_events
+    # column-prunes them out); no second events write job per fill
 
     if fail_after_blocks:
         raise RuntimeError("simulated crash before lineage commit")

@@ -28,7 +28,6 @@ from smart_geocubes_spark.operators.spatial_join import (
 )
 from smart_geocubes_spark.operators.tiles import (
     in_extent_filter,
-    make_cell_udf,
     with_tiles_native,
 )
 from smart_geocubes_spark.sources.synth import (
@@ -121,11 +120,23 @@ GROUP BY 1
 
 
 def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Morton/quadkey cell encoding at res 12 (H3/S2 role) in an Arrow
-    pandas UDF; oracle recomputes the bit-interleave in pure SQL."""
-    pts = _points(spark, sf_dir)
-    cell12 = make_cell_udf(12)
-    return pts.select("page_id", cell12(F.col("lon"), F.col("lat")).alias("cell12"))
+    """Morton/quadkey cell encoding at res 12 (H3/S2 role); oracle
+    recomputes the bit-interleave in pure SQL.
+
+    ONE fused ArrowEvalPython hop: geoparse + encode run in a single
+    Arrow UDF (operators.tiles.make_geoparse_cell_udf) because the
+    output only needs (page_id, cell12) — chained pandas UDF hops
+    measured 6x slower at 32 cores (CLAUDE.md rule 4; round-3 verdict
+    item #2). Same parse + exact float path as geoparsed_points, so the
+    fixture's regex-match set equals the oracle's LIKE-filter set and
+    the -1 no-parse sentinel filter is equivalent to has_geo."""
+    from smart_geocubes_spark.operators.tiles import make_geoparse_cell_udf
+
+    dp = spark.sparkContext.defaultParallelism
+    pages = pages_df(spark, sf_dir, parallelism=dp).select("page_id", "url")
+    fused = make_geoparse_cell_udf(12)
+    enc = pages.select("page_id", fused(F.col("url")).alias("cell12"))
+    return enc.filter(F.col("cell12") >= 0)
 
 
 SQL_CELL_ENCODE = f"""{ORACLE_PREFIX}
@@ -2943,6 +2954,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_steps": q_funnel_steps,
     "triangle_count": q_triangle_count,
     "resample_ffill": q_resample_ffill,
+}
+
+# The driver's CORRECTNESS snapshot caps at 50 entries, taken in registry
+# order.  Entries listed here are hoisted to the front of the window so
+# queries that have never received a green driver row (r1-r3 rotation gaps)
+# plus this round's new queries get validated; everything else already has
+# a green row in some CORRECTNESS_r*.json.  The repo's replica gate
+# (tests/test_oracle_parity.py) always runs ALL entries regardless of order.
+_DRIVER_WINDOW_PRIORITY = [
+    "tile_assign_polar",
+    "image_decode_bmp",
+    "audio_features_wav",
+    "host_quota_sample",
+    "pagerank_hosts",
+    "prefix_dup",
+    "bm25_rank",
+    "kmv_distinct_cells",
+    "cohort_retention",
+    "funnel_steps",
+    "triangle_count",
+    "resample_ffill",
+]
+
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_PRIORITY} | {
+    k: v for k, v in QUERIES.items() if k not in _DRIVER_WINDOW_PRIORITY
 }
 
 ORACLES: dict[str, str] = {

@@ -102,6 +102,17 @@ def test_asof_is_pure_projection(spark):
         assert "RoundRobinPartitioning" in plan
 
 
+def test_cell_encode_single_python_hop(spark):
+    """cell_encode must run geoparse + Morton encode in ONE fused Arrow
+    hop (round-3 verdict item #2: two chained ArrowEvalPython hops
+    measured 6x slower than the fused kernel at 32 cores)."""
+    from smart_geocubes_spark.queries import q_cell_encode
+
+    plan = plan_of(q_cell_encode(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+
+
 def test_cell_rollup_single_python_hop(spark):
     """Parent-of-Morton must be JVM bit math: exactly one ArrowEvalPython
     (the res-12 encode), never a second chained pandas UDF."""
