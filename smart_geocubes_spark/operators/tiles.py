@@ -113,6 +113,51 @@ def make_geoparse_cell_udf(res: int):
     return _udf.asNondeterministic()
 
 
+def make_geoparse_tile_udf(grid: TileGrid, crs: str):
+    """FUSED url -> projected tile assignment in ONE Arrow hop
+    (geoparse + CRS projection + grid floor; ``has`` False for urls
+    without coordinates). Same parse and exact float path as
+    geoparsed_points (int micro-degrees / 1e5 as float64), fused per
+    CLAUDE.md rule 4 — the previous two-hop chain (geoparse UDF then
+    tile UDF) pays a second ArrowEvalPython worker round-trip.
+    ``asNondeterministic`` pins one evaluation per plan."""
+    import numpy as np
+
+    @F.pandas_udf("tile_id long, px double, py double, has boolean")
+    def _udf(url: pd.Series) -> pd.DataFrame:
+        ext = url.str.extract(_GEO_URL_RE)
+        lat = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64) / 1e5
+        lon = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64) / 1e5
+        has = ~np.isnan(lat) & ~np.isnan(lon)
+        x, y = project(np.nan_to_num(lon), np.nan_to_num(lat), crs)
+        tx, ty = grid.xy_to_tile(x, y)
+        out = pd.DataFrame({"tile_id": grid.tile_id(tx, ty), "px": x, "py": y, "has": has})
+        return out
+
+    return _udf.asNondeterministic()
+
+
+def make_geoparse_norm_lon_udf():
+    """FUSED url + lon-shift -> (lat, lon_norm, has) in ONE Arrow hop:
+    geoparse, apply the JVM-computed shift, and antimeridian-normalize
+    (reference ``accessors/gee.py:211-215``). The shift add and the
+    normalization run in numpy over the same float64 values the JVM
+    would produce (int micro-degrees / 1e5 then IEEE add), so parity
+    with the fmod oracle is unchanged from the two-hop version."""
+    import numpy as np
+
+    @F.pandas_udf("lat double, lon_norm double, has boolean")
+    def _udf(url: pd.Series, shift: pd.Series) -> pd.DataFrame:
+        ext = url.str.extract(_GEO_URL_RE)
+        lat = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64) / 1e5
+        lon = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64) / 1e5
+        has = ~np.isnan(lat) & ~np.isnan(lon)
+        lon_norm = normalize_antimeridian(lon + shift.to_numpy(dtype=np.float64))
+        return pd.DataFrame({"lat": lat, "lon_norm": lon_norm, "has": has})
+
+    return _udf.asNondeterministic()
+
+
 _UDF_CACHE: dict[str, object] = {}
 
 

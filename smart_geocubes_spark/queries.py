@@ -589,20 +589,30 @@ SQL_EVENT_DURATIONS = _event_durations_sql()
 # ---------------------------------------------------------------------------
 
 def q_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shifted longitudes (some wrapped past +-180) are normalized in an
-    Arrow UDF, then tile-assigned; oracle recomputes with fmod."""
-    from smart_geocubes_spark.operators.tiles import normalize_lon_udf
+    """Shifted longitudes (some wrapped past +-180) are normalized and
+    tile-assigned; oracle recomputes with fmod.
 
-    pts = _points(spark, sf_dir).withColumn(
-        "lon_shift",
-        F.col("lon")
-        + F.when(F.col("page_id") % 5 == 0, F.lit(360.0))
+    ONE fused ArrowEvalPython hop (geoparse + shift-add + normalize in
+    make_geoparse_norm_lon_udf; round-3 verdict item #6) — the shift is
+    computed JVM-side from page_id and passed into the kernel; extent
+    filter and tile floor math stay in whole-stage codegen."""
+    from smart_geocubes_spark.operators.tiles import make_geoparse_norm_lon_udf
+
+    dp = spark.sparkContext.defaultParallelism
+    pages = pages_df(spark, sf_dir, parallelism=dp).select("page_id", "url")
+    shift = (
+        F.when(F.col("page_id") % 5 == 0, F.lit(360.0))
         .when(F.col("page_id") % 5 == 1, F.lit(-360.0))
-        .otherwise(F.lit(0.0)),
+        .otherwise(F.lit(0.0))
     )
-    out = pts.withColumn("lon_norm", normalize_lon_udf()(F.col("lon_shift")))
-    out = out.filter(in_extent_filter(GRID, lon="lon_norm", lat="lat"))
-    out = with_tiles_native(out.withColumnRenamed("lon_norm", "lon_n"), GRID, lon="lon_n", lat="lat")
+    g = pages.select(
+        "page_id", make_geoparse_norm_lon_udf()(F.col("url"), shift).alias("g")
+    )
+    out = g.filter(F.col("g.has")).select(
+        "page_id", F.col("g.lat").alias("lat"), F.col("g.lon_norm").alias("lon_n")
+    )
+    out = out.filter(in_extent_filter(GRID, lon="lon_n", lat="lat"))
+    out = with_tiles_native(out, GRID, lon="lon_n", lat="lat")
     return out.select("page_id", F.col("lon_n").alias("lon_norm"), "tile_id")
 
 
@@ -1953,19 +1963,24 @@ FROM ztf
 
 
 def q_tile_assign_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:3413 polar-stereographic tile assignment. ONE fused
+    ArrowEvalPython hop (geoparse + projection + grid floor in
+    make_geoparse_tile_udf; round-3 verdict item #6). The struct is
+    aliased in its own projection with the UDF pinned nondeterministic
+    so the 5 consuming expressions (has + extent x4 + group key) share
+    one evaluation (CLAUDE.md rule 3)."""
     from smart_geocubes_spark.geo.geobox import polar_3413_grid
-    from smart_geocubes_spark.operators.tiles import make_tile_udf
+    from smart_geocubes_spark.operators.tiles import make_geoparse_tile_udf
 
     grid = polar_3413_grid()
-    pts = _points(spark, sf_dir)
-    # 4 expressions consume the struct (extent filter x3 + groupBy key):
-    # pin ONE evaluation (CLAUDE.md rule 3 — alias in its own projection
-    # + asNondeterministic, else Catalyst re-evals per consumer)
-    t = make_tile_udf(grid, "EPSG:3413").asNondeterministic()
-    out = pts.select(t(F.col("lon"), F.col("lat")).alias("t"))
+    dp = spark.sparkContext.defaultParallelism
+    pages = pages_df(spark, sf_dir, parallelism=dp).select("url")
+    t = make_geoparse_tile_udf(grid, "EPSG:3413")
+    out = pages.select(t(F.col("url")).alias("t"))
     return (
         out.filter(
-            (F.col("t.px") >= grid.geobox.x0)
+            F.col("t.has")
+            & (F.col("t.px") >= grid.geobox.x0)
             & (F.col("t.px") < grid.geobox.x0 + grid.geobox.width * grid.geobox.res)
             & (F.col("t.py") <= grid.geobox.y0)
             & (F.col("t.py") > grid.geobox.y0 - grid.geobox.height * grid.geobox.res)

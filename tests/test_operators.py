@@ -68,6 +68,52 @@ class TestPrepKernel:
         assert np.array_equal(a["lat"].to_numpy(), b["lat"].to_numpy())
         assert np.array_equal(a["lon"].to_numpy(), b["lon"].to_numpy())
 
+    def test_fused_tile_and_norm_udfs_match_column_api(self, spark):
+        """The url-fused kernels (make_geoparse_tile_udf /
+        make_geoparse_norm_lon_udf) must agree bit-for-bit with the
+        general lon/lat-COLUMN operators (make_tile_udf /
+        normalize_lon_udf) composed after geoparse — the column API is
+        what a reference user with existing coordinate columns calls."""
+        from smart_geocubes_spark.geo.geobox import polar_3413_grid
+        from smart_geocubes_spark.operators.tiles import (
+            make_geoparse_norm_lon_udf,
+            make_geoparse_tile_udf,
+            make_tile_udf,
+            normalize_lon_udf,
+        )
+
+        grid = polar_3413_grid()
+        pages = pages_df(spark, SF).select("page_id", "url")
+        pts = geoparsed_points(pages.withColumn("warc_epoch", F.lit(0)).withColumn("host_id", F.lit(0)))
+
+        fused = (
+            pages.select("page_id", make_geoparse_tile_udf(grid, "EPSG:3413")(F.col("url")).alias("t"))
+            .filter(F.col("t.has"))
+            .select("page_id", F.col("t.tile_id").alias("tile_id"), "t.px", "t.py")
+            .toPandas().sort_values("page_id").reset_index(drop=True)
+        )
+        col = (
+            pts.select("page_id", make_tile_udf(grid, "EPSG:3413")(F.col("lon"), F.col("lat")).alias("t"))
+            .select("page_id", F.col("t.tile_id").alias("tile_id"), "t.px", "t.py")
+            .toPandas().sort_values("page_id").reset_index(drop=True)
+        )
+        assert np.array_equal(fused["page_id"].to_numpy(), col["page_id"].to_numpy())
+        assert np.array_equal(fused["tile_id"].to_numpy(), col["tile_id"].to_numpy())
+        assert np.array_equal(fused["px"].to_numpy(), col["px"].to_numpy())
+        assert np.array_equal(fused["py"].to_numpy(), col["py"].to_numpy())
+
+        fused_n = (
+            pages.select("page_id", make_geoparse_norm_lon_udf()(F.col("url"), F.lit(360.0)).alias("g"))
+            .filter(F.col("g.has"))
+            .select("page_id", F.col("g.lon_norm").alias("lon_norm"))
+            .toPandas().sort_values("page_id").reset_index(drop=True)
+        )
+        col_n = (
+            pts.select("page_id", normalize_lon_udf()(F.col("lon") + F.lit(360.0)).alias("lon_norm"))
+            .toPandas().sort_values("page_id").reset_index(drop=True)
+        )
+        assert np.array_equal(fused_n["lon_norm"].to_numpy(), col_n["lon_norm"].to_numpy())
+
     def test_text_byte_identical_per_url(self, spark):
         """input_hint invariant: extracted text is a pure function of the
         html — re-extraction gives byte-identical output, and it matches

@@ -197,17 +197,18 @@ def test_ann_ivf_big_side_is_projection(spark):
     assert "array_max" in plan  # the literal argmax projection
 
 
-def test_polar_and_antimeridian_single_eval_per_kernel(spark):
-    """tile_assign_polar / antimeridian_norm each chain two Python
-    kernels (point prep -> projection/normalization). Every kernel must
-    evaluate ONCE even though its output feeds several expressions
-    (extent filter + group key) — was ArrowEvalPython x3 before the
-    asNondeterministic + own-projection pin."""
+def test_polar_and_antimeridian_single_fused_hop(spark):
+    """tile_assign_polar / antimeridian_norm run geoparse + projection/
+    normalization in ONE fused Arrow kernel (round-3 verdict item #6;
+    previously two chained hops, and x3 before the asNondeterministic
+    + own-projection pin). The struct output feeds several expressions
+    (extent filter + group key) off a single evaluation."""
     from smart_geocubes_spark.queries import q_antimeridian, q_tile_assign_polar
 
     for q in (q_tile_assign_polar, q_antimeridian):
         plan = plan_of(q(spark, SF))
-        assert plan.count("ArrowEvalPython") == 2  # one per kernel, never more
+        assert plan.count("ArrowEvalPython") == 1, q.__name__
+        assert "BatchEvalPython" not in plan
 
 
 def test_ann_lsh_bucket_single_eval(spark):
