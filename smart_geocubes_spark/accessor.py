@@ -38,6 +38,7 @@ from smart_geocubes_spark.plans.materialize import (
     read_lineage,
     snapshots as cube_snapshots,
 )
+from smart_geocubes_spark.toi import normalize_toi
 
 BBox = tuple[float, float, float, float]
 
@@ -82,19 +83,38 @@ class GeocubeAccessor:
         if not self.created:
             raise FileNotFoundError(f"cube not created: {self.path}")
 
-    def fill(self, roi: BBox | list[BBox], toi_epochs: list[int] | None = None) -> dict:
+    def _normalize_toi(self, toi_epochs, toi_method: str) -> list[int] | None:
+        """Snap an arbitrary TOI (scalar / list / slice / ISO string /
+        datetime / None) onto the cube's epoch axis (reference
+        ``normalize_toi``, core/toi.py:10-42). Atemporal cubes pass
+        None through and raise on anything else — the same guard the
+        plans layer enforces for direct callers."""
+        return normalize_toi(self.spec.time_epochs, toi_epochs, method=toi_method)
+
+    def fill(
+        self,
+        roi: BBox | list[BBox],
+        toi_epochs=None,
+        toi_method: str = "nearest",
+    ) -> dict:
         """procedural_download analog: idempotent cache fill. ``roi``
         may be a LIST of bboxes (reference GeoDataFrame batch branch,
-        core/accessor.py:400-426) — one job fills the deduped union."""
+        core/accessor.py:400-426) — one job fills the deduped union.
+        ``toi_epochs`` accepts exact axis epochs OR arbitrary
+        timestamps/slices, snapped via ``toi_method`` (reference
+        normalize_toi semantics)."""
         self.assert_created()
-        return materialize(self.spark, self.path, roi, toi_epochs)
+        return materialize(
+            self.spark, self.path, roi, self._normalize_toi(toi_epochs, toi_method)
+        )
 
     def load(
         self,
         roi: BBox | list[BBox],
-        toi_epochs: list[int] | None = None,
+        toi_epochs=None,
         persist: bool = False,
         create: bool = False,
+        toi_method: str = "nearest",
     ) -> DataFrame | pd.DataFrame:
         """The flagship four-step query (docs/how_it_works.md:48-53):
         intersect -> download new -> store -> return ROI slice.
@@ -112,10 +132,12 @@ class GeocubeAccessor:
             except FileExistsError:
                 pass
         self.assert_created()
-        # TOI-on-atemporal raises in the shared plans layer
-        # (candidate_chunks / load_blocks) for every entry point
-        self.fill(roi, toi_epochs)
-        df = load_blocks(self.spark, self.path, roi, toi_epochs)
+        # normalize ONCE so fill and the scan see the same axis steps;
+        # TOI-on-atemporal raises here (and again in the shared plans
+        # layer for direct materialize/load_blocks callers)
+        toi = self._normalize_toi(toi_epochs, toi_method)
+        self.fill(roi, toi)
+        df = load_blocks(self.spark, self.path, roi, toi)
         return df.toPandas() if persist else df
 
     def load_like(
@@ -170,7 +192,8 @@ class GeocubeAccessor:
         self,
         roi: BBox | list[BBox],
         as_of_batch: str,
-        toi_epochs: list[int] | None = None,
+        toi_epochs=None,
+        toi_method: str = "nearest",
     ) -> DataFrame:
         """TIME TRAVEL: the ROI exactly as it was visible when
         ``as_of_batch`` committed. Read-only — never fills."""
@@ -184,7 +207,11 @@ class GeocubeAccessor:
                 "for the latest committed id)"
             )
         return load_blocks(
-            self.spark, self.path, roi, toi_epochs, as_of_batch=as_of_batch
+            self.spark,
+            self.path,
+            roi,
+            self._normalize_toi(toi_epochs, toi_method),
+            as_of_batch=as_of_batch,
         )
 
     def loaded_patches(self) -> list[str]:

@@ -87,6 +87,54 @@ def test_current_state_none_when_empty(spark, tmp_path):
     assert acc.current_state() is None
 
 
+def test_normalize_toi_reference_semantics():
+    """Mirror of reference normalize_toi (core/toi.py:10-42): nearest /
+    pad / bfill snapping, label slices inclusive both ends, list + None
+    forms, not-found raise. Pandas tie behavior pinned: an exact
+    midpoint snaps to the LATER step."""
+    from smart_geocubes_spark.toi import normalize_toi
+
+    axis = (1577836800, 1609459200, 1640995200, 1672531200)
+    assert normalize_toi(axis, None) == list(axis)
+    assert normalize_toi(axis, 1609459200 + 100) == [1609459200]
+    mid = (1577836800 + 1609459200) // 2
+    assert normalize_toi(axis, mid) == [1609459200]
+    # list: out-of-order + near-duplicates -> sorted unique axis steps
+    assert normalize_toi(axis, [1672531200, 1577836801, 1577836700]) == [1577836800, 1672531200]
+    # label slices: both ends inclusive, ISO strings accepted, open ends
+    assert normalize_toi(axis, slice("2021-01-01", "2022-01-01")) == [1609459200, 1640995200]
+    assert normalize_toi(axis, slice(None, 1609459200)) == [1577836800, 1609459200]
+    # nearest clamps at the axis ends
+    assert normalize_toi(axis, 0) == [1577836800]
+    assert normalize_toi(axis, 9_999_999_999) == [1672531200]
+    # pad/bfill: directional snap; out-of-range raises instead of the
+    # pandas get_indexer -1 wrap the reference inherits
+    assert normalize_toi(axis, 1609459201, method="pad") == [1609459200]
+    assert normalize_toi(axis, 1609459199, method="bfill") == [1609459200]
+    with pytest.raises(ValueError):
+        normalize_toi(axis, 0, method="pad")
+    with pytest.raises(ValueError):
+        normalize_toi(axis, 9_999_999_999, method="bfill")
+    with pytest.raises(ValueError):
+        normalize_toi(axis, slice(1577836801, 1609459199))  # empty slice
+    # atemporal cube: None passes through, any TOI raises
+    assert normalize_toi(None, None) is None
+    with pytest.raises(ValueError):
+        normalize_toi(None, 1577836800)
+
+
+def test_load_accepts_arbitrary_toi(spark, tmp_path):
+    """Accessor TOI wiring (round-3 verdict item #4): a mid-axis
+    timestamp snaps to the nearest epoch step instead of raising, and
+    slices select step ranges — reference load(toi=...) semantics."""
+    acc = tctrend_like(spark, str(tmp_path / "tc"))
+    acc.create()
+    df = acc.load(ROI_4326, toi_epochs=1609459200 + 5)  # scalar, off-axis
+    assert [r[0] for r in df.select("time_idx").distinct().collect()] == [1]
+    df2 = acc.load(ROI_4326, toi_epochs=slice("2021-01-01", "2022-06-01"))
+    assert sorted(r[0] for r in df2.select("time_idx").distinct().collect()) == [1, 2]
+
+
 def test_load_like_derives_toi(spark, tmp_path):
     """Temporal-cube load_like must return ONLY the reference frame's
     time steps (reference core/accessor.py:302-329 derives both aoi and
