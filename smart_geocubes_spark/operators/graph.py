@@ -15,6 +15,8 @@ Determinism notes (why this is exactly oracle-able):
   shuffle order).
 * The only non-integer steps are ``floor(CAST(pr AS DOUBLE) / outdeg)``
   and ``floor(0.85 * mass)``.  Both are safe: every operand is < 2^53
+  (enforced loudly — pagerank_fixed_point raises when n_nodes *
+  PR_SCALE reaches 2^53, the conserved-mass bound on any single pr)
   so the casts are exact; a single IEEE divide / multiply of identical
   operands is identical in every engine; and ``floor`` can only flip
   when the true quotient sits within one ulp of an integer, which for
@@ -126,6 +128,23 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = 2) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Exactness bound, checked loudly (repo convention: overflow never
+    # silent): every pr/mass must cast to DOUBLE exactly, i.e. < 2^53.
+    # Total scaled mass is conserved at <= n_nodes * PR_SCALE (teleport
+    # + damped redistribution can only shrink it), so a hub's pr is
+    # bounded by that product. At PR_SCALE=1e9 the guard admits ~9e6
+    # nodes; for the ~1e8-host web graph lower PR_SCALE to 1e7 (the
+    # fixed-point resolution still dwarfs float noise) — without this
+    # check the floor(CAST(pr AS DOUBLE)) step would silently lose the
+    # cross-engine bit-reproducibility the module header promises.
+    n_nodes = nodes.count()
+    if n_nodes * PR_SCALE >= 1 << 53:
+        raise ValueError(
+            f"pagerank_fixed_point: n_nodes={n_nodes} x PR_SCALE={PR_SCALE} "
+            f">= 2^53 — the DOUBLE casts stop being exact and the integer "
+            f"fixed point loses cross-engine determinism; lower PR_SCALE "
+            f"(e.g. 1e7 admits ~9e8 nodes)"
+        )
     pr = nodes.withColumn("pr", F.lit(PR_SCALE).cast("long"))
     for _ in range(n_iter):
         mass = (

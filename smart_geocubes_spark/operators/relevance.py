@@ -97,7 +97,11 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    feat = token_features(docs, terms)
+    # feat feeds TWO subtrees in one action (the corpus-stats aggregate
+    # and the scoring side of the crossJoin): checkpoint so the full
+    # tokenize/filter pass over the corpus runs once (CLAUDE.md rule:
+    # 2+ consumers -> eager localCheckpoint)
+    feat = token_features(docs, terms).localCheckpoint(eager=True)
     stats = feat.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),

@@ -2711,7 +2711,12 @@ def funnel_counts(
             cur = cur.join(prev, "user_id").filter(F.col("us") > F.col("t_prev"))
             if window_us is not None:
                 cur = cur.filter(F.col("us") <= F.col("t_prev") + F.lit(window_us))
-        cur = cur.groupBy("user_id").agg(F.min("us").alias("t_prev"))
+        # each stage's survivors feed TWO subtrees (the next stage's
+        # join and this stage's count row): checkpoint so the stage
+        # shuffle runs once — unioning lazy frames would otherwise
+        # recompute stage k's whole ancestry k more times in one action
+        # (CLAUDE.md rule: 2+ consumers -> eager localCheckpoint)
+        cur = cur.groupBy("user_id").agg(F.min("us").alias("t_prev")).localCheckpoint(eager=True)
         prev = cur
         stage_frames.append(
             cur.agg(F.count("*").cast("long").alias("n_users")).select(

@@ -47,6 +47,16 @@ class TestPagerankFixedPoint:
         assert got[0] == 150_000_000
         assert got[1] == 150_000_000 + 127_500_000  # .85 * floor(pr1(0)/1)
 
+    def test_exactness_bound_guard_raises(self, spark, monkeypatch):
+        """n_nodes x PR_SCALE >= 2^53 must fail LOUDLY: past that bound
+        the DOUBLE casts stop being exact and the fixed point silently
+        loses cross-engine determinism (the module's whole contract)."""
+        import smart_geocubes_spark.operators.graph as graph
+
+        monkeypatch.setattr(graph, "PR_SCALE", 1 << 53)  # any nodes trip it
+        with pytest.raises(ValueError, match="2\\^53"):
+            pagerank_fixed_point(_edges(spark, [(0, 1)]), n_iter=1)
+
     def test_mass_never_negative_and_bounded(self, spark):
         out = pagerank_fixed_point(
             _edges(spark, [(i, (i + 1) % 7) for i in range(7)]), n_iter=3

@@ -452,6 +452,31 @@ class TestAhoCorasick:
         with _pytest.raises(ValueError, match="empty needle"):
             build_automaton(["", "zz"])
 
+    def test_dense_dfa_equals_csr_and_handles_utf8(self):
+        """The executor-side dense DFA compile must agree with the CSR
+        walk on adversarial needle sets, including multi-byte UTF-8
+        needles (the automaton is byte-level; UTF-8 self-synchronization
+        makes byte matches == char matches)."""
+        from smart_geocubes_spark.operators.decontam import (
+            _contains_any,
+            _scan_dense,
+            build_automaton,
+            to_dense,
+        )
+
+        needles = ["abc", "bcd", "c", "cab", "abcabd", "dab", "bb", "héllo", "日本"]
+        auto = build_automaton(needles)
+        delta, outa = to_dense(auto)
+        texts = [
+            "xxabcxx", "xbcdx", "zzz", "cc", "ab", "abcab", "abcabd",
+            "aabb", "dabc", "xyabcaby", "bbbb", "", "abcabcabd",
+            "say héllo!", "héllx", "東京は日本の首都", "日本x", "日", "é",
+        ]
+        for t in texts:
+            want = any(n in t for n in needles)
+            assert _contains_any(auto, t) == want, t
+            assert _scan_dense(delta, outa, t.encode("utf-8")) == want, t
+
     def test_ac_equals_exists_contains_on_corpus(self, spark):
         """The distributed AC pass must flag exactly the docs the JVM
         exists(contains) projection flags, on the same needle set."""
