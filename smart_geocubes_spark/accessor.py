@@ -34,6 +34,7 @@ from smart_geocubes_spark.plans.materialize import (
     event_durations,
     load as load_blocks,
     materialize,
+    materialize_patch,
     open_spec,
     read_lineage,
     snapshots as cube_snapshots,
@@ -106,6 +107,31 @@ class GeocubeAccessor:
         self.assert_created()
         return materialize(
             self.spark, self.path, roi, self._normalize_toi(toi_epochs, toi_method)
+        )
+
+    def fill_patch(
+        self,
+        patch_bbox: BBox,
+        patch_id: str,
+        toi_epochs=None,
+        toi_method: str = "nearest",
+        value_offset: float = 0.0,
+    ) -> dict:
+        """Merge-on-write fill for a PARTIALLY-covering patch
+        (reference ``core/backend.py:263-272``: NaN borders in the
+        downloaded patch are back-filled from existing cube data, so
+        overlapping patches preserve each other's pixels). Re-applying
+        a ``patch_id`` is a no-op (``loaded_patches`` semantics).
+        Single patch/maintenance actor at a time — see
+        plans.materialize.materialize_patch."""
+        self.assert_created()
+        return materialize_patch(
+            self.spark,
+            self.path,
+            patch_bbox,
+            patch_id,
+            self._normalize_toi(toi_epochs, toi_method),
+            value_offset=value_offset,
         )
 
     def load(

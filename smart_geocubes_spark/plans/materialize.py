@@ -506,6 +506,168 @@ def materialize(
     return metrics
 
 
+def _gen_patch_blocks_factory(
+    chunk_px: int,
+    x0: float,
+    y0: float,
+    res: float,
+    patch_bbox: tuple[float, float, float, float],
+    value_offset: float,
+):
+    """Patch-source kernel: same closed-form values as the full fill
+    (block_base_values + ramp, plus ``value_offset`` so tests can tell
+    patch generations apart), but NaN outside the patch bbox — the
+    'nan borders' the reference's STAC downloads carry
+    (``core/backend.py:265-267``). A pixel belongs to the patch iff its
+    CENTER lies inside (x half-open [minx, maxx), y half-open
+    (miny, maxy] — the grid's own top-left convention)."""
+    n_px = chunk_px * chunk_px
+    pminx, pminy, pmaxx, pmaxy = (float(v) for v in patch_bbox)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = int(ctx.partitionId()) if ctx is not None else -1
+        rows = np.arange(n_px, dtype=np.float64) // chunk_px
+        cols = np.arange(n_px, dtype=np.float64) % chunk_px
+        ramp = np.arange(n_px, dtype=np.float64) * 0.5
+        for b in batches:
+            t0 = time.time_ns() // 1000
+            base = block_base_values(b)
+            base = base + np.where(
+                b["time_idx"].to_numpy() >= 0, b["time_idx"].to_numpy() * 10.0, 0.0
+            )
+            vals = base[:, None] + ramp[None, :] + value_offset
+            tx = b["tile_x"].to_numpy(dtype=np.float64)
+            ty = b["tile_y"].to_numpy(dtype=np.float64)
+            cx = x0 + (tx[:, None] * chunk_px + cols[None, :] + 0.5) * res
+            cy = y0 - (ty[:, None] * chunk_px + rows[None, :] + 0.5) * res
+            inside = (cx >= pminx) & (cx < pmaxx) & (cy > pminy) & (cy <= pmaxy)
+            blocks = np.where(inside, vals, np.nan)
+            out = b[["tile_y", "tile_x", "tile_id", "time_idx", "channel", "batch_id"]].copy()
+            out["pt"] = (b["tile_id"] % N_PARTS).astype("int32")
+            out["block"] = list(blocks)
+            out["chunk_key"] = b["chunk_key"].to_numpy()
+            out["partition_id"] = np.int32(pid)
+            out["t_start_us"] = np.int64(t0)
+            out["t_end_us"] = np.int64(time.time_ns() // 1000)
+            out["n_bytes"] = np.int64(8 * n_px)
+            yield out
+
+    return gen
+
+
+def materialize_patch(
+    spark: SparkSession,
+    path: str,
+    patch_bbox: tuple[float, float, float, float],
+    patch_id: str,
+    toi_epochs: list[int] | None = None,
+    value_offset: float = 0.0,
+) -> dict:
+    """MERGE-ON-WRITE fill for a patch that may only PARTIALLY cover
+    its chunks (reference ``core/backend.py:263-272``: NaN borders in
+    downloaded patches are replaced with existing cube data before the
+    write, so overlapping patches preserve each other's pixels).
+
+    Mechanism: the patch's chunks are regenerated with NaN outside the
+    patch footprint, NaN-coalesced against the currently VISIBLE block
+    content (new data wins where it has data — exactly the reference's
+    ``data[mask] = existing`` then write), and committed as a
+    SHADOW-NAMESPACE batch (same reserved "0"-prefixed id space as
+    compaction): under the unchanged read rule (min batch_id per chunk
+    wins) the merged rewrite shadows prior content the instant its
+    lineage commits, while every pre-merge snapshot keeps resolving to
+    the old blocks (time travel unchanged — the merge commits LAST in
+    seq order). Patch identity is tracked in ``patches/<id>.json``
+    (the reference's ``loaded_patches`` ids): re-applying is a no-op.
+
+    Contract: like compaction, this is a read-modify-write of visible
+    state — run ONE patch/maintenance actor at a time (the reference
+    serializes through icechunk conflict retries; racing a concurrent
+    fill here could shadow its chunks with a merge that predates them).
+    Idempotent under crash: an interrupted run leaves an invisible
+    orphan batch; re-running merges identically."""
+    spec = open_spec(path)
+    os.makedirs(os.path.join(path, "patches"), exist_ok=True)
+    marker = os.path.join(path, "patches", f"{patch_id}.json")
+    if os.path.exists(marker):
+        return {"batch_id": None, "written": 0, "skipped": "patch already applied", "sec": 0.0}
+    t0 = time.time()
+    batch_id = _compact_id(path)
+
+    cand = candidate_chunks(spark, spec, patch_bbox, toi_epochs)
+    cand = (
+        cand.withColumn("pt", (F.col("tile_id") % N_PARTS).cast("int"))
+        .withColumn("batch_id", F.lit(batch_id))
+        .repartition(F.col("pt"))
+        .sortWithinPartitions("tile_id", "time_idx", "channel")
+        .localCheckpoint(eager=True)  # feeds kernel + lineage + count
+    )
+    n_chunks = cand.count()
+    gb = spec.grid.geobox
+    new_blocks = cand.mapInPandas(
+        _gen_patch_blocks_factory(
+            spec.grid.chunk_px, gb.x0, gb.y0, gb.res, patch_bbox, value_offset
+        ),
+        schema=BLOCK_WRITE_SCHEMA,
+    )
+    # currently-visible content of exactly these chunks (winner rows,
+    # patch-bounded — the same pruned scan load() serves readers)
+    existing = load(spark, path, patch_bbox, toi_epochs).select(
+        "chunk_key", F.col("block").alias("old_block")
+    )
+    # "no data" is NULL-or-NaN: the kernel emits NaN, but Arrow's
+    # pandas list conversion maps NaN to null on the way into the JVM,
+    # so stored partial blocks carry NULL holes — coalesce either form
+    merged = (
+        new_blocks.join(existing, "chunk_key", "left")
+        .withColumn(
+            "block",
+            F.when(F.col("old_block").isNull(), F.col("block")).otherwise(
+                F.zip_with(
+                    "block",
+                    "old_block",
+                    lambda n, o: F.when(n.isNull() | F.isnan(n), o).otherwise(n),
+                )
+            ),
+        )
+        .drop("old_block")
+        .select(*[f.split()[0] for f in BLOCK_WRITE_SCHEMA.split(", ")])
+        .repartition(F.col("pt"))
+        .sortWithinPartitions("tile_id", "time_idx", "channel")
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(path, "blocks", f"batch={batch_id}"))
+
+    n_px = spec.grid.chunk_px * spec.grid.chunk_px
+    lin = (
+        cand.withColumn("partition_id", F.spark_partition_id())
+        .withColumn("n_rows", F.lit(1).cast("long"))
+        .withColumn("n_bytes", F.lit(8 * n_px).cast("long"))
+        .select(
+            "chunk_key", "tile_id", "time_idx", "channel",
+            "batch_id", "partition_id", "n_rows", "n_bytes",
+        )
+    )
+    lin.write.mode("overwrite").parquet(os.path.join(path, "lineage", f"batch={batch_id}"))
+    _allocate_commit_seq(path, batch_id)  # THE commit point
+
+    metrics = {
+        "batch_id": batch_id,
+        "written": int(n_chunks),
+        "patch_id": patch_id,
+        "sec": time.time() - t0,
+    }
+    with open(marker, "w") as f:
+        json.dump({"patch_id": patch_id, "batch_id": batch_id, "bbox": list(patch_bbox)}, f)
+    mdir = os.path.join(path, "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"{batch_id}.json"), "w") as f:
+        json.dump(metrics, f)
+    return metrics
+
+
 def snapshots(path: str) -> list[dict]:
     """Committed snapshots in COMMIT order (the icechunk commit-log
     analog: every fill or compaction commit is a readable version).

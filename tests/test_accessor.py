@@ -135,6 +135,32 @@ def test_load_accepts_arbitrary_toi(spark, tmp_path):
     assert sorted(r[0] for r in df2.select("time_idx").distinct().collect()) == [1, 2]
 
 
+def test_fill_patch_merges_on_write(spark, tmp_path):
+    """Accessor seam for merge-on-write (reference nan-border merge,
+    core/backend.py:263-272): a partial patch over a filled tile
+    replaces exactly its covered pixels; reapplying is a no-op."""
+    import numpy as np
+
+    acc = arcticdem_like(spark, str(tmp_path / "adem"))
+    acc.create()
+    acc.fill(ROI_POLAR)
+    # left half of tile (10,15): x [-800k, -640k), safely inside its y
+    patch = (-800_000.0, -1_119_000.0, -640_000.0, -801_000.0)
+    m = acc.fill_patch(patch, "p0", value_offset=7.0)
+    assert m["written"] == 2
+    assert acc.fill_patch(patch, "p0")["written"] == 0  # loaded_patches
+    blk = np.array(
+        acc.load(ROI_POLAR)
+        .filter((F.col("tile_x") == 10) & (F.col("tile_y") == 15) & (F.col("channel") == "dem"))
+        .collect()[0]
+        .block
+    )
+    p = np.arange(100 * 100)
+    col = p % 100
+    expect = 15 * 1000.0 + 10 + 0.5 * p + np.where(col < 50, 7.0, 0.0)
+    assert np.array_equal(blk, expect)
+
+
 def test_load_like_derives_toi(spark, tmp_path):
     """Temporal-cube load_like must return ONLY the reference frame's
     time steps (reference core/accessor.py:302-329 derives both aoi and

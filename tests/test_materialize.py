@@ -416,3 +416,76 @@ def test_vacuum_never_deletes_unvouched_shadowed_batch(spark, cube):
     assert any(dup in b for b in v2["shadowed_removed"])
     # event history survives via the compacted copy (dedup'd by reader)
     assert read_events(spark, cube).count() == ev_before
+
+
+def test_patch_merge_preserves_borders_and_time_travel(spark, cube):
+    """Merge-on-write (reference core/backend.py:263-272): two patches
+    partially covering the same chunk preserve each other's pixels —
+    the later patch wins where it has data, the earlier patch fills its
+    NaN borders; golden closed-form values. Pre-merge snapshots still
+    read the A-only state (shadow-batch time travel)."""
+    import numpy as np
+
+    from smart_geocubes_spark.plans.materialize import materialize_patch
+
+    # both patches live inside tile (2,2): A covers cols 0..49, B
+    # covers cols 40..99 (pixel-center mask; boundaries sit on the
+    # midpoints between centers, 0.005 deg clear of float noise)
+    A = (2.0, 17.0001, 2.5, 17.9999)
+    B = (2.4, 17.0001, 2.9999, 17.9999)
+    m1 = materialize_patch(spark, cube, A, "patchA")
+    assert m1["written"] == 2  # one tile x 2 channels
+    m2 = materialize_patch(spark, cube, B, "patchB", value_offset=1000.0)
+    assert m2["written"] == 2
+    # shadow namespace: each merge id sorts below the previous, so the
+    # newest merge wins under the unchanged min-batch_id read rule
+    assert m2["batch_id"] < m1["batch_id"]
+
+    roi = (2.1, 17.2, 2.9, 17.8)
+    rows = load(spark, cube, roi).filter(F.col("channel") == "dem").collect()
+    assert len(rows) == 1
+    blk = np.array(rows[0].block)
+    p = np.arange(100 * 100)
+    col = p % 100
+    expect = 2 * 1000.0 + 2 + 0.5 * p + np.where(col >= 40, 1000.0, 0.0)
+    assert np.array_equal(blk, expect)
+
+    # time travel to the post-A commit: right half still NaN
+    rows_a = (
+        load(spark, cube, roi, as_of_batch=m1["batch_id"])
+        .filter(F.col("channel") == "dem")
+        .collect()
+    )
+    # missing pixels surface as NULL (Arrow maps the kernel's NaN to
+    # null in list columns) — normalize to NaN for the assertion
+    blk_a = np.array([np.nan if v is None else v for v in rows_a[0].block])
+    a_expect = 2 * 1000.0 + 2 + 0.5 * p
+    assert np.array_equal(blk_a[col < 50], a_expect[col < 50])
+    assert np.isnan(blk_a[col >= 50]).all()
+
+    # patch identity: re-applying is a no-op (loaded_patches semantics)
+    assert materialize_patch(spark, cube, A, "patchA")["written"] == 0
+    # the merged chunks are committed lineage: a normal fill skips them
+    missing = plan_missing(candidate_chunks(spark, open_spec(cube), roi), read_lineage(spark, cube))
+    assert missing.count() == 0
+
+
+def test_patch_merge_over_full_fill(spark, cube):
+    """A patch over an already fully-filled chunk replaces exactly its
+    covered pixels and keeps the rest byte-identical (the reference's
+    data[nan_mask] = existing with no NaN in existing)."""
+    import numpy as np
+
+    from smart_geocubes_spark.plans.materialize import materialize_patch
+
+    roi = (5.1, 13.2, 5.9, 13.8)  # tile (5,6)
+    materialize(spark, cube, roi)
+    patch = (5.0, 13.0001, 5.5, 13.9999)  # left half of the tile
+    materialize_patch(spark, cube, patch, "p-left", value_offset=500.0)
+    blk = np.array(
+        load(spark, cube, roi).filter(F.col("channel") == "dem").collect()[0].block
+    )
+    p = np.arange(100 * 100)
+    col = p % 100
+    expect = 6 * 1000.0 + 5 + 0.5 * p + np.where(col < 50, 500.0, 0.0)
+    assert np.array_equal(blk, expect)
