@@ -301,12 +301,18 @@ class GeocubeAccessor:
         for _, r in m.iterrows():
             bar = "#" * max(1, int(round(width * float(r["sec"]) / top)))
             lines.append(f"{r['batch_id']}  {bar} {float(r['sec']):.2f}s ({int(r['written'])} chunks)")
-            rows = sorted(lanes.get(str(r["batch_id"]), []), key=lambda e: e["partition_id"])
+            rows = sorted(
+                lanes.get(str(r["batch_id"]), []),
+                key=lambda e: (e["partition_id"], e["action"]),
+            )
             lane_top = max([e["duration_us"] for e in rows], default=0) or 1
             for e in rows:
-                lbar = "=" * max(1, int(round(width * e["duration_us"] / lane_top)))
+                # two lanes per partition (reference download vs write
+                # actions, core/backend.py:23-28): '=' generate, '~' write
+                ch = "=" if e["action"] == "generate" else "~"
+                lbar = ch * max(1, int(round(width * e["duration_us"] / lane_top)))
                 lines.append(
-                    f"  p{e['partition_id']:03d} {lbar} "
+                    f"  p{e['partition_id']:03d} {e['action']:<8} {lbar} "
                     f"{e['duration_us'] / 1e6:.3f}s ({e['n_chunks']} chunks, {e['n_bytes']} B)"
                 )
         return "\n".join(lines)

@@ -68,11 +68,16 @@ LINEAGE_SCHEMA = (
 # per-chunk event rows emitted from inside the block-generation kernel;
 # t_start/t_end bound the Arrow batch that produced the chunk (batch
 # granularity — the vectorized analog of the reference's per-patch
-# start/end actions, core/backend.py:23-28)
+# start/end actions, core/backend.py:23-28). ``action`` separates the
+# reference's two phases (download vs write, backend.py:23-28):
+# 'generate' rows are per-chunk kernel windows; 'write' rows are
+# per-PARTITION parquet-commit records (file mtime = task write end,
+# driver job start = window start) synthesized from driver-side
+# metadata — no extra Spark job.
 EVENT_SCHEMA = (
     "chunk_key string, tile_id long, time_idx int, channel string, "
     "partition_id int, t_start_us long, t_end_us long, n_bytes long, "
-    "batch_id string"
+    "batch_id string, action string"
 )
 # what the kernel yields = block columns + event columns (events are
 # split out of the written files by a column-pruned read-back, so the
@@ -295,6 +300,7 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     rewritten blocks (whose batch_id column holds the NEW id)."""
     committed = sorted(os.path.basename(b) for b in _lineage_batches(path))
     dirs = []
+    write_rows: list[dict] = []
     for b in committed:
         ed = os.path.join(path, "events", b)
         bd = os.path.join(path, "blocks", b)
@@ -302,29 +308,86 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
             dirs.append(ed)
         elif os.path.isdir(bd):
             dirs.append(bd)
-    if not dirs:
+        wj = os.path.join(path, "events_write", b, "write.json")
+        if os.path.exists(wj):
+            with open(wj) as f:
+                write_rows.extend(json.load(f))
+    if not dirs and not write_rows:
         return spark.createDataFrame([], EVENT_SCHEMA)
     # a compacted batch carries exact COPIES of prior batches' events
     # (history preservation); until vacuum removes the originals both
     # are visible — drop the byte-identical duplicates. Metadata-sized
     # table, so the distinct is cheap. Legacy pre-event-format block
     # files have no event columns (schema read fills NULL): drop them.
-    return (
-        spark.read.schema(EVENT_SCHEMA)
-        .parquet(*dirs)
-        .filter(F.col("t_start_us").isNotNull())
-        .dropDuplicates()
-    )
+    # Block files store no ``action`` column (they ARE the generate
+    # rows); compacted history copies store it explicitly.
+    parts = []
+    if dirs:
+        parts.append(
+            spark.read.schema(EVENT_SCHEMA)
+            .parquet(*dirs)
+            .filter(F.col("t_start_us").isNotNull())
+            .withColumn("action", F.coalesce(F.col("action"), F.lit("generate")))
+        )
+    if write_rows:
+        wdf = pd.DataFrame(write_rows)
+        parts.append(
+            spark.createDataFrame(wdf).select(
+                F.lit(None).cast("string").alias("chunk_key"),
+                F.lit(None).cast("long").alias("tile_id"),
+                F.lit(None).cast("int").alias("time_idx"),
+                F.lit(None).cast("string").alias("channel"),
+                F.col("partition_id").cast("int"),
+                F.col("t_start_us").cast("long"),
+                F.col("t_end_us").cast("long"),
+                F.col("n_bytes").cast("long"),
+                F.col("batch_id").cast("string"),
+                F.lit("write").alias("action"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.dropDuplicates()
+
+
+def _record_write_events(path: str, batch_id: str, block_dir: str, job_start_us: int) -> None:
+    """Synthesize per-partition 'write' event rows from the landed part
+    files (reference write-phase actions, ``core/backend.py:23-28``):
+    the part filename carries the task partition index (matching the
+    kernel's gen-row partition_id) and its mtime is the task's parquet
+    commit time. Pure driver-side metadata — one dir listing, no Spark
+    job (the round-3 verdict killed the read-back job; this keeps the
+    phase split without reintroducing it)."""
+    rows = []
+    for fn in sorted(os.listdir(block_dir)):
+        if not fn.startswith("part-"):
+            continue
+        st = os.stat(os.path.join(block_dir, fn))
+        rows.append(
+            {
+                "partition_id": int(fn.split("-")[1]),
+                "t_start_us": int(job_start_us),
+                "t_end_us": st.st_mtime_ns // 1000,
+                "n_bytes": int(st.st_size),
+                "batch_id": batch_id,
+            }
+        )
+    d = os.path.join(path, "events_write", f"batch={batch_id}")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "write.json"), "w") as f:
+        json.dump(rows, f)
 
 
 def event_durations(spark: SparkSession, path: str) -> DataFrame:
     """Start/end -> duration merge over the event log (the data half of
     the reference's ``visualize_state`` Gantt, ``core/backend.py:59-93``):
-    one row per (batch, partition) with its chunk/byte totals and the
-    wall window it was busy."""
+    one row per (batch, partition, action) with its chunk/byte totals
+    and the wall window it was busy — 'generate' lanes from the kernel
+    windows, 'write' lanes from the parquet-commit records."""
     ev = read_events(spark, path)
     return (
-        ev.groupBy("batch_id", "partition_id")
+        ev.groupBy("batch_id", "partition_id", "action")
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum("n_bytes").alias("n_bytes"),
@@ -469,9 +532,13 @@ def materialize(
         _gen_blocks_factory(spec.grid.chunk_px), schema=BLOCK_WRITE_SCHEMA
     )
     block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
+    t_write0 = time.time_ns() // 1000
     blocks.write.mode("overwrite").parquet(block_dir)
-    # the per-chunk event rows STAY inside the block files (read_events
-    # column-prunes them out); no second events write job per fill
+    # the per-chunk 'generate' event rows STAY inside the block files
+    # (read_events column-prunes them out); the per-partition 'write'
+    # rows come from the landed part files' metadata — no second events
+    # write job per fill
+    _record_write_events(path, batch_id, block_dir, t_write0)
 
     if fail_after_blocks:
         raise RuntimeError("simulated crash before lineage commit")
@@ -638,7 +705,10 @@ def materialize_patch(
         .repartition(F.col("pt"))
         .sortWithinPartitions("tile_id", "time_idx", "channel")
     )
-    merged.write.mode("overwrite").parquet(os.path.join(path, "blocks", f"batch={batch_id}"))
+    patch_block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
+    t_write0 = time.time_ns() // 1000
+    merged.write.mode("overwrite").parquet(patch_block_dir)
+    _record_write_events(path, batch_id, patch_block_dir, t_write0)
 
     n_px = spec.grid.chunk_px * spec.grid.chunk_px
     lin = (
@@ -951,7 +1021,7 @@ def vacuum(spark: SparkSession, path: str, min_orphan_age_sec: float = 86400.0) 
     committed = {os.path.basename(b) for b in _lineage_batches(path)}
     now = time.time()
     removed_orphans = []
-    for sub in ("blocks", "events", "lineage"):
+    for sub in ("blocks", "events", "events_write", "lineage"):
         d = os.path.join(path, sub)
         if not os.path.isdir(d):
             continue
@@ -1010,7 +1080,7 @@ def vacuum(spark: SparkSession, path: str, min_orphan_age_sec: float = 86400.0) 
         bid = b.split("=", 1)[1]
         if bid in winning or bid not in vouched:
             continue
-        for sub in ("blocks", "events", "lineage"):
+        for sub in ("blocks", "events", "events_write", "lineage"):
             p = os.path.join(path, sub, b)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)

@@ -551,7 +551,12 @@ def q_event_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         create_cube(path, CubeSpec(grid=GRID, channels=("dem", "slope"), time_epochs=None))
         materialize(spark, path, ZONAL_ROIS[0])
         ev = read_events(spark, path)
-        out = ev.groupBy("chunk_key", "tile_id", "channel").agg(
+        # the 'generate' half is deterministic (chunk set x exact byte
+        # accounting); 'write' rows carry wall-clock/file-size values
+        # pinned by tests/test_materialize.py instead of the oracle
+        out = ev.filter(F.col("action") == "generate").groupBy(
+            "chunk_key", "tile_id", "channel", "action"
+        ).agg(
             F.count("*").cast("long").alias("n_events"),
             F.sum("n_bytes").cast("long").alias("n_bytes"),
         )
@@ -575,6 +580,7 @@ ztf AS (
 )
 SELECT '-1-' || CAST(ty AS VARCHAR) || '-' || CAST(tx AS VARCHAR) || '-' || channel AS chunk_key,
        tile_id, channel,
+       'generate' AS action,
        CAST(1 AS BIGINT) AS n_events,
        CAST({8 * _N_PX} AS BIGINT) AS n_bytes
 FROM ztf CROSS JOIN (VALUES ('dem'), ('slope')) ch(channel)

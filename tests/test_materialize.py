@@ -231,19 +231,21 @@ def test_compact_preserves_event_history(spark, cube):
 
     m1 = materialize(spark, cube, ROI_A)
     m2 = materialize(spark, cube, ROI_B)
+    rows = read_events(spark, cube).collect()
     before = {
-        (r.chunk_key, r.batch_id, r.t_start_us, r.t_end_us)
-        for r in read_events(spark, cube).collect()
+        (r.chunk_key, r.batch_id, r.t_start_us, r.t_end_us, r.action) for r in rows
     }
-    assert len(before) == m1["written"] + m2["written"]
+    n_gen = sum(1 for r in rows if r.action == "generate")
+    assert n_gen == m1["written"] + m2["written"]
+    assert any(r.action == "write" for r in rows)  # write lanes carried too
     compact(spark, cube)
     assert {
-        (r.chunk_key, r.batch_id, r.t_start_us, r.t_end_us)
+        (r.chunk_key, r.batch_id, r.t_start_us, r.t_end_us, r.action)
         for r in read_events(spark, cube).collect()
     } == before  # copies de-duplicated
     vacuum(spark, cube, min_orphan_age_sec=0)
     assert {
-        (r.chunk_key, r.batch_id, r.t_start_us, r.t_end_us)
+        (r.chunk_key, r.batch_id, r.t_start_us, r.t_end_us, r.action)
         for r in read_events(spark, cube).collect()
     } == before  # originals gone, carried history remains
 
@@ -276,7 +278,8 @@ def test_event_log_rows_and_duration_rollup(spark, cube):
     from smart_geocubes_spark.plans.materialize import event_durations, read_events
 
     m = materialize(spark, cube, ROI_A)
-    ev = read_events(spark, cube).collect()
+    all_ev = read_events(spark, cube).collect()
+    ev = [e for e in all_ev if e.action == "generate"]
     assert len(ev) == m["written"] == 18
     lineage_keys = {r.chunk_key for r in read_lineage(spark, cube).collect()}
     assert {e.chunk_key for e in ev} == lineage_keys
@@ -286,13 +289,20 @@ def test_event_log_rows_and_duration_rollup(spark, cube):
         assert e.t_end_us >= e.t_start_us > 0
         assert e.n_bytes == 8 * 100 * 100
     dur = event_durations(spark, cube).collect()
-    assert sum(r.n_chunks for r in dur) == 18
-    assert sum(r.n_bytes for r in dur) == 18 * 8 * 100 * 100
+    gen_dur = [r for r in dur if r.action == "generate"]
+    assert sum(r.n_chunks for r in gen_dur) == 18
+    assert sum(r.n_bytes for r in gen_dur) == 18 * 8 * 100 * 100
     for r in dur:
         assert r.duration_us == r.t_end_us - r.t_start_us >= 0
+    # every generate lane has a matching write lane (two-phase Gantt)
+    assert {(r.batch_id, r.partition_id) for r in gen_dur} == {
+        (r.batch_id, r.partition_id) for r in dur if r.action == "write"
+    }
     # a second idempotent run adds no events
     materialize(spark, cube, ROI_A)
-    assert read_events(spark, cube).count() == 18
+    after = read_events(spark, cube).collect()
+    assert sum(1 for e in after if e.action == "generate") == 18
+    assert len(after) == len(all_ev)
 
 
 def test_event_log_crash_invisible(spark, cube):
@@ -306,8 +316,18 @@ def test_event_log_crash_invisible(spark, cube):
     assert read_events(spark, cube).count() == 0
     m = materialize(spark, cube, ROI_A)
     ev = read_events(spark, cube)
-    assert ev.count() == 18
-    assert ev.filter(F.col("batch_id") == m["batch_id"]).count() == 18
+    gen = ev.filter(F.col("action") == "generate")
+    assert gen.count() == 18
+    assert ev.filter(F.col("batch_id") == m["batch_id"]).count() == ev.count()
+    # write-phase rows (reference write actions): one per landed part
+    # file, window end = parquet commit, bytes = file size
+    wr = ev.filter(F.col("action") == "write").collect()
+    assert len(wr) >= 1
+    gen_pids = {r["partition_id"] for r in gen.collect()}
+    assert {r["partition_id"] for r in wr} == gen_pids
+    for r in wr:
+        assert r["n_bytes"] > 0 and r["t_end_us"] >= r["t_start_us"]
+        assert r["chunk_key"] is None and r["tile_id"] is None
 
 
 def test_visualize_state_renders_partition_lanes(spark, cube):
@@ -318,7 +338,10 @@ def test_visualize_state_renders_partition_lanes(spark, cube):
     acc = GeocubeAccessor(spark=spark, path=cube, spec=open_spec(cube))
     s = acc.visualize_state()
     assert "chunks" in s and "#" in s
-    assert "  p" in s and "=" in s  # per-partition lanes from the event log
+    # both per-partition lanes (reference download vs write actions):
+    # '=' bars for generate, '~' bars for write
+    assert "  p" in s and "generate" in s and "=" in s
+    assert "write" in s and "~" in s
 
 
 def test_plan_missing_antijoin(spark, cube):
