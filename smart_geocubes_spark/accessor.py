@@ -122,8 +122,10 @@ class GeocubeAccessor:
         downloaded patch are back-filled from existing cube data, so
         overlapping patches preserve each other's pixels). Re-applying
         a ``patch_id`` is a no-op (``loaded_patches`` semantics).
-        Single patch/maintenance actor at a time — see
-        plans.materialize.materialize_patch."""
+        Single patch/maintenance actor at a time, and a patched chunk
+        counts as CACHED: ``fill()`` will not regenerate its uncovered
+        pixels — only further patches complete them (reference
+        behavior) — see plans.materialize.materialize_patch."""
         self.assert_created()
         return materialize_patch(
             self.spark,
@@ -158,11 +160,13 @@ class GeocubeAccessor:
             except FileExistsError:
                 pass
         self.assert_created()
-        # normalize ONCE so fill and the scan see the same axis steps;
-        # TOI-on-atemporal raises here (and again in the shared plans
-        # layer for direct materialize/load_blocks callers)
+        # normalize ONCE so the fill and the scan see the same axis
+        # steps — materialize() is called directly (self.fill would
+        # re-normalize, under its own default method); TOI-on-atemporal
+        # raises here (and again in the shared plans layer for direct
+        # materialize/load_blocks callers)
         toi = self._normalize_toi(toi_epochs, toi_method)
-        self.fill(roi, toi)
+        materialize(self.spark, self.path, roi, toi)
         df = load_blocks(self.spark, self.path, roi, toi)
         return df.toPandas() if persist else df
 

@@ -126,7 +126,14 @@ def to_dense(auto: Automaton) -> tuple[array, array] | None:
         lo, hi = int(starts[s]), int(starts[s + 1])
         delta[s, bytes_[lo:hi]] = targets[lo:hi]  # ...own edges override
         order.extend(int(t) for t in targets[lo:hi])
-    return array("i", delta.reshape(-1).tolist()), array("b", out.astype(np.int8).tolist())
+    # frombytes, never tolist(): at the state cap tolist() would box
+    # ~8.4M transient Python ints (~300 MB) per worker process just to
+    # feed a 32 MB array
+    da = array("i")
+    da.frombytes(delta.astype("<i4").tobytes())
+    oa = array("b")
+    oa.frombytes(out.astype(np.int8).tobytes())
+    return da, oa
 
 
 def _scan_dense(delta: array, outa: array, data: bytes) -> bool:

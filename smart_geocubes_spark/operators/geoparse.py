@@ -77,3 +77,19 @@ def geoparsed_points(pages: DataFrame) -> DataFrame:
             "host_id",
         )
     )
+
+
+def parse_latlon_np(url: pd.Series):
+    """THE shared url -> (lat, lon, has) parse for every fused Arrow
+    kernel (float64 degrees via int micro-degrees / 1e5 — the same IEEE
+    double the JVM path computes as ``lat_e5 / 100000.0``). One
+    definition: a second copy of this float path is an oracle-parity
+    desync waiting to happen, exactly like a second copy of
+    ``_GEO_URL_RE`` (see operators/tiles.py consumers)."""
+    import numpy as np
+
+    ext = url.str.extract(_GEO_URL_RE)
+    lat = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64) / 1e5
+    lon = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64) / 1e5
+    has = ~np.isnan(lat) & ~np.isnan(lon)
+    return lat, lon, has

@@ -85,17 +85,17 @@ def make_cell_udf(res: int):
     return cell_udf
 
 
-# imported, not copied: the fused cell path MUST parse exactly what the
-# unfused lat/lon path parses (a second literal would silently desync)
-from smart_geocubes_spark.operators.geoparse import _GEO_URL_RE  # noqa: E402
+# imported, not copied: every fused kernel MUST parse exactly what the
+# unfused lat/lon path parses (a second copy of the regex OR the float
+# path would silently desync — parse_latlon_np is the one definition)
+from smart_geocubes_spark.operators.geoparse import parse_latlon_np  # noqa: E402
 
 
 def make_geoparse_cell_udf(res: int):
     """FUSED url -> Morton cell UDF (geoparse + encode in ONE Arrow
-    hop; -1 for urls without coordinates). Same parse and float path as
-    operators.geoparse.geoparsed_points (int micro-degrees / 1e5 as
-    float64 — exact in IEEE), fused per CLAUDE.md rule 4 so queries that
-    only need the cell pay a single ArrowEvalPython node.
+    hop; -1 for urls without coordinates). Shared parse/float path via
+    geoparse.parse_latlon_np, fused per CLAUDE.md rule 4 so queries
+    that only need the cell pay a single ArrowEvalPython node.
     ``asNondeterministic`` pins one evaluation (see geoparse.py)."""
     import numpy as np
 
@@ -103,10 +103,7 @@ def make_geoparse_cell_udf(res: int):
 
     @F.pandas_udf("long")
     def _udf(url: pd.Series) -> pd.Series:
-        ext = url.str.extract(_GEO_URL_RE)
-        lat = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64) / 1e5
-        lon = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64) / 1e5
-        has = ~np.isnan(lat) & ~np.isnan(lon)
+        lat, lon, has = parse_latlon_np(url)
         cell = np.where(has, _enc(np.nan_to_num(lon), np.nan_to_num(lat), res), -1)
         return pd.Series(cell)
 
@@ -116,42 +113,36 @@ def make_geoparse_cell_udf(res: int):
 def make_geoparse_tile_udf(grid: TileGrid, crs: str):
     """FUSED url -> projected tile assignment in ONE Arrow hop
     (geoparse + CRS projection + grid floor; ``has`` False for urls
-    without coordinates). Same parse and exact float path as
-    geoparsed_points (int micro-degrees / 1e5 as float64), fused per
-    CLAUDE.md rule 4 — the previous two-hop chain (geoparse UDF then
-    tile UDF) pays a second ArrowEvalPython worker round-trip.
-    ``asNondeterministic`` pins one evaluation per plan."""
+    without coordinates). Shared parse/float path via
+    geoparse.parse_latlon_np, fused per CLAUDE.md rule 4 — the
+    previous two-hop chain (geoparse UDF then tile UDF) pays a second
+    ArrowEvalPython worker round-trip. ``asNondeterministic`` pins one
+    evaluation per plan."""
     import numpy as np
 
     @F.pandas_udf("tile_id long, px double, py double, has boolean")
     def _udf(url: pd.Series) -> pd.DataFrame:
-        ext = url.str.extract(_GEO_URL_RE)
-        lat = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64) / 1e5
-        lon = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64) / 1e5
-        has = ~np.isnan(lat) & ~np.isnan(lon)
+        lat, lon, has = parse_latlon_np(url)
         x, y = project(np.nan_to_num(lon), np.nan_to_num(lat), crs)
         tx, ty = grid.xy_to_tile(x, y)
-        out = pd.DataFrame({"tile_id": grid.tile_id(tx, ty), "px": x, "py": y, "has": has})
-        return out
+        return pd.DataFrame({"tile_id": grid.tile_id(tx, ty), "px": x, "py": y, "has": has})
 
     return _udf.asNondeterministic()
 
 
 def make_geoparse_norm_lon_udf():
     """FUSED url + lon-shift -> (lat, lon_norm, has) in ONE Arrow hop:
-    geoparse, apply the JVM-computed shift, and antimeridian-normalize
-    (reference ``accessors/gee.py:211-215``). The shift add and the
-    normalization run in numpy over the same float64 values the JVM
-    would produce (int micro-degrees / 1e5 then IEEE add), so parity
-    with the fmod oracle is unchanged from the two-hop version."""
+    geoparse (shared parse via geoparse.parse_latlon_np), apply the
+    JVM-computed shift, and antimeridian-normalize (reference
+    ``accessors/gee.py:211-215``). The shift add and the normalization
+    run in numpy over the same float64 values the JVM would produce,
+    so parity with the fmod oracle is unchanged from the two-hop
+    version."""
     import numpy as np
 
     @F.pandas_udf("lat double, lon_norm double, has boolean")
     def _udf(url: pd.Series, shift: pd.Series) -> pd.DataFrame:
-        ext = url.str.extract(_GEO_URL_RE)
-        lat = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64) / 1e5
-        lon = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64) / 1e5
-        has = ~np.isnan(lat) & ~np.isnan(lon)
+        lat, lon, has = parse_latlon_np(url)
         lon_norm = normalize_antimeridian(lon + shift.to_numpy(dtype=np.float64))
         return pd.DataFrame({"lat": lat, "lon_norm": lon_norm, "has": has})
 

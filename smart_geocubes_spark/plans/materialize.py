@@ -359,16 +359,24 @@ def _record_write_events(path: str, batch_id: str, block_dir: str, job_start_us:
     commit time. Pure driver-side metadata — one dir listing, no Spark
     job (the round-3 verdict killed the read-back job; this keeps the
     phase split without reintroducing it)."""
+    import re as _re
+
     rows = []
     for fn in sorted(os.listdir(block_dir)):
-        if not fn.startswith("part-"):
+        # strict part-file shape: a naming variant must not abort the
+        # fill after the blocks already landed
+        m = _re.match(r"part-(\d+)-", fn)
+        if m is None:
             continue
         st = os.stat(os.path.join(block_dir, fn))
         rows.append(
             {
-                "partition_id": int(fn.split("-")[1]),
+                "partition_id": int(m.group(1)),
                 "t_start_us": int(job_start_us),
-                "t_end_us": st.st_mtime_ns // 1000,
+                # clamp: file mtime comes from the filesystem clock; on
+                # NFS/VM drift it can lag the driver clock — a telemetry
+                # row must never report a negative window
+                "t_end_us": max(st.st_mtime_ns // 1000, int(job_start_us)),
                 "n_bytes": int(st.st_size),
                 "batch_id": batch_id,
             }
@@ -448,7 +456,21 @@ def plan_missing(candidates: DataFrame, lineage: DataFrame) -> DataFrame:
     return candidates.join(lineage.select("chunk_key"), "chunk_key", "left_anti")
 
 
-def _gen_blocks_factory(chunk_px: int):
+def _gen_blocks_factory(
+    chunk_px: int,
+    patch: tuple[float, float, float, tuple[float, float, float, float], float] | None = None,
+):
+    """ONE block-generation kernel for BOTH fill shapes (a second copy
+    of the value formula or the embedded event columns would silently
+    diverge — same single-definition rule as block_base_values).
+
+    ``patch=None``: full-coverage fill (every pixel generated).
+    ``patch=(x0, y0, res, bbox, value_offset)``: partial-coverage
+    source — values offset by ``value_offset`` and NaN outside ``bbox``
+    (the reference's nan-bordered STAC downloads,
+    ``core/backend.py:265-267``). A pixel belongs to the patch iff its
+    CENTER lies inside (x half-open [minx, maxx), y half-open
+    (miny, maxy] — the grid's own top-left convention)."""
     n_px = chunk_px * chunk_px
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -457,12 +479,24 @@ def _gen_blocks_factory(chunk_px: int):
         ctx = TaskContext.get()
         pid = int(ctx.partitionId()) if ctx is not None else -1
         ramp = np.arange(n_px, dtype=np.float64) * 0.5
+        if patch is not None:
+            x0, y0, res, bbox, value_offset = patch
+            pminx, pminy, pmaxx, pmaxy = (float(v) for v in bbox)
+            rows_i = np.arange(n_px, dtype=np.float64) // chunk_px
+            cols_i = np.arange(n_px, dtype=np.float64) % chunk_px
         for b in batches:
             t0 = time.time_ns() // 1000
             base = block_base_values(b)
             # time shift so temporal chunks differ per step
             base = base + np.where(b["time_idx"].to_numpy() >= 0, b["time_idx"].to_numpy() * 10.0, 0.0)
             blocks = base[:, None] + ramp[None, :]
+            if patch is not None:
+                tx = b["tile_x"].to_numpy(dtype=np.float64)
+                ty = b["tile_y"].to_numpy(dtype=np.float64)
+                cx = x0 + (tx[:, None] * chunk_px + cols_i[None, :] + 0.5) * res
+                cy = y0 - (ty[:, None] * chunk_px + rows_i[None, :] + 0.5) * res
+                inside = (cx >= pminx) & (cx < pmaxx) & (cy > pminy) & (cy <= pmaxy)
+                blocks = np.where(inside, blocks + value_offset, np.nan)
             out = b[["tile_y", "tile_x", "tile_id", "time_idx", "channel", "batch_id"]].copy()
             out["pt"] = (b["tile_id"] % N_PARTS).astype("int32")
             out["block"] = list(blocks)
@@ -573,58 +607,6 @@ def materialize(
     return metrics
 
 
-def _gen_patch_blocks_factory(
-    chunk_px: int,
-    x0: float,
-    y0: float,
-    res: float,
-    patch_bbox: tuple[float, float, float, float],
-    value_offset: float,
-):
-    """Patch-source kernel: same closed-form values as the full fill
-    (block_base_values + ramp, plus ``value_offset`` so tests can tell
-    patch generations apart), but NaN outside the patch bbox — the
-    'nan borders' the reference's STAC downloads carry
-    (``core/backend.py:265-267``). A pixel belongs to the patch iff its
-    CENTER lies inside (x half-open [minx, maxx), y half-open
-    (miny, maxy] — the grid's own top-left convention)."""
-    n_px = chunk_px * chunk_px
-    pminx, pminy, pmaxx, pmaxy = (float(v) for v in patch_bbox)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        pid = int(ctx.partitionId()) if ctx is not None else -1
-        rows = np.arange(n_px, dtype=np.float64) // chunk_px
-        cols = np.arange(n_px, dtype=np.float64) % chunk_px
-        ramp = np.arange(n_px, dtype=np.float64) * 0.5
-        for b in batches:
-            t0 = time.time_ns() // 1000
-            base = block_base_values(b)
-            base = base + np.where(
-                b["time_idx"].to_numpy() >= 0, b["time_idx"].to_numpy() * 10.0, 0.0
-            )
-            vals = base[:, None] + ramp[None, :] + value_offset
-            tx = b["tile_x"].to_numpy(dtype=np.float64)
-            ty = b["tile_y"].to_numpy(dtype=np.float64)
-            cx = x0 + (tx[:, None] * chunk_px + cols[None, :] + 0.5) * res
-            cy = y0 - (ty[:, None] * chunk_px + rows[None, :] + 0.5) * res
-            inside = (cx >= pminx) & (cx < pmaxx) & (cy > pminy) & (cy <= pmaxy)
-            blocks = np.where(inside, vals, np.nan)
-            out = b[["tile_y", "tile_x", "tile_id", "time_idx", "channel", "batch_id"]].copy()
-            out["pt"] = (b["tile_id"] % N_PARTS).astype("int32")
-            out["block"] = list(blocks)
-            out["chunk_key"] = b["chunk_key"].to_numpy()
-            out["partition_id"] = np.int32(pid)
-            out["t_start_us"] = np.int64(t0)
-            out["t_end_us"] = np.int64(time.time_ns() // 1000)
-            out["n_bytes"] = np.int64(8 * n_px)
-            yield out
-
-    return gen
-
-
 def materialize_patch(
     spark: SparkSession,
     path: str,
@@ -655,7 +637,17 @@ def materialize_patch(
     serializes through icechunk conflict retries; racing a concurrent
     fill here could shadow its chunks with a merge that predates them).
     Idempotent under crash: an interrupted run leaves an invisible
-    orphan batch; re-running merges identically."""
+    orphan batch; re-running merges identically.
+
+    COVERAGE SEMANTICS (mirrors the reference, and worth saying out
+    loud): a patch commits its chunks to lineage, so ``materialize()``
+    treats them as cached and will NOT regenerate the uncovered pixels
+    — a partially-covered chunk keeps its NULL holes until ANOTHER
+    patch covers them (the reference behaves identically: a chunk
+    touched by a nan-bordered download stays nan outside every patch
+    ever applied; ``procedural_download`` skips it once its patch ids
+    are in ``loaded_patches``). Do not mix fill() and fill_patch()
+    expecting fill() to repair patch holes."""
     spec = open_spec(path)
     os.makedirs(os.path.join(path, "patches"), exist_ok=True)
     marker = os.path.join(path, "patches", f"{patch_id}.json")
@@ -675,8 +667,9 @@ def materialize_patch(
     n_chunks = cand.count()
     gb = spec.grid.geobox
     new_blocks = cand.mapInPandas(
-        _gen_patch_blocks_factory(
-            spec.grid.chunk_px, gb.x0, gb.y0, gb.res, patch_bbox, value_offset
+        _gen_blocks_factory(
+            spec.grid.chunk_px,
+            patch=(gb.x0, gb.y0, gb.res, patch_bbox, value_offset),
         ),
         schema=BLOCK_WRITE_SCHEMA,
     )
