@@ -2901,6 +2901,182 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 additions: corpus token rarity, patch overlap areas, URL rule filter
+# ---------------------------------------------------------------------------
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal: per doc, the count of
+    whitespace tokens and the SUM of each token's corpus term
+    frequency — integers only (the mean-rarity ratio is the caller's
+    division; a float mean would drift between engines). Common-token-
+    heavy docs score high tf_sum/n_tok; rare-vocabulary docs score low
+    — the unigram-LM-quality proxy of a training-data pipeline.
+
+    Plan shape: explode -> vocabulary-sized tf aggregate -> hash join
+    back. The token frame feeds BOTH the aggregate and the join side,
+    so it is eagerly checkpointed (CLAUDE.md rule: 2+ consumers). At
+    100 TB the tf side is vocabulary-sized (<< corpus) and AQE
+    broadcast-joins it; no windows, no per-row Python."""
+    ensure_base_views(spark, sf_dir)
+    corpus = corpus_df(spark)
+    tok = corpus.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(text, '(\\S+)', 1)")).alias("tok"),
+    ).localCheckpoint(eager=True)
+    tf = tok.groupBy("tok").agg(F.count("*").cast("long").alias("tf"))
+    return (
+        tok.join(tf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+        )
+    )
+
+
+SQL_TOKEN_RARITY = f"""WITH corpus AS ({CORPUS_SQL}),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM corpus
+),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(tf) AS BIGINT) AS tf_sum
+FROM tok JOIN tf USING (tok) GROUP BY doc_id
+"""
+
+
+def q_patch_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise patch-envelope intersection areas (the STAC-overlap
+    accounting behind J-family joins) in integer TENTH-DEGREE units —
+    bbox corners are multiples of 0.5 deg, so x10 is exact and the
+    whole area computation stays BIGINT.
+
+    Plan shape: the sjoin discipline, not a theta self-join — each
+    patch explodes to its 3x3 neighbor (prow, pcol) cells and pairs
+    meet on an EQUI key (envelope margins are 0.5 deg < the 3 deg cell,
+    so any overlapping pair is cell-adjacent: the prejoin is lossless).
+    O(9n) rows instead of the O(n^2) BroadcastNestedLoopJoin a naive
+    `a.minx < b.maxx AND ...` join plans; intersection width/height are
+    greatest/least integer math in codegen."""
+    pat = catalog_df(spark).select(
+        "patch_idx",
+        "prow",
+        "pcol",
+        (F.col("minx") * 10).cast("long").alias("x0"),
+        (F.col("miny") * 10).cast("long").alias("y0"),
+        (F.col("maxx") * 10).cast("long").alias("x1"),
+        (F.col("maxy") * 10).cast("long").alias("y1"),
+    )
+    a = pat.select(
+        F.col("patch_idx").alias("patch_a"),
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 8),"
+                " k -> struct(prow + k div 3 - 1 AS nr, pcol + k % 3 - 1 AS nc))"
+            )
+        ).alias("nb"),
+    ).select("patch_a", "ax0", "ay0", "ax1", "ay1", "nb.nr", "nb.nc")
+    b = pat.select(
+        F.col("patch_idx").alias("patch_b"),
+        F.col("prow").alias("nr"), F.col("pcol").alias("nc"),
+        F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+    )
+    j = a.join(b, ["nr", "nc"]).filter(F.col("patch_a") < F.col("patch_b"))
+    w = F.greatest(F.lit(0), F.least("ax1", "bx1") - F.greatest("ax0", "bx0"))
+    h = F.greatest(F.lit(0), F.least("ay1", "by1") - F.greatest("ay0", "by0"))
+    return (
+        j.select("patch_a", "patch_b", (w * h).cast("long").alias("area10"))
+        .filter(F.col("area10") > 0)
+    )
+
+
+SQL_PATCH_OVERLAP_AREA = f"""{ORACLE_PREFIX},
+p AS (
+  SELECT patch_idx, prow, pcol,
+         CAST(minx * 10 AS BIGINT) AS x0, CAST(miny * 10 AS BIGINT) AS y0,
+         CAST(maxx * 10 AS BIGINT) AS x1, CAST(maxy * 10 AS BIGINT) AS y1
+  FROM patches
+)
+SELECT patch_a, patch_b, area10 FROM (
+  SELECT a.patch_idx AS patch_a, b.patch_idx AS patch_b,
+         CAST(greatest(0, least(a.x1, b.x1) - greatest(a.x0, b.x0))
+            * greatest(0, least(a.y1, b.y1) - greatest(a.y0, b.y0)) AS BIGINT) AS area10
+  FROM p a JOIN p b
+    ON abs(a.prow - b.prow) <= 1 AND abs(a.pcol - b.pcol) <= 1
+   AND a.patch_idx < b.patch_idx
+) t WHERE area10 > 0
+"""
+
+
+def _url_rules_sql(dialect: str) -> str:
+    """Shared robots-style per-host prefix rules (allow the host root;
+    deny /about/ on every 3rd host, /geo/ on hosts ≡ 1 mod 5). One
+    builder, both engines — prefix lengths are distinct per host, so
+    longest-match-wins needs no tiebreak."""
+    from smart_geocubes_spark.sources.synth import N_HOSTS
+
+    if dialect == "spark":
+        src = f"SELECT id AS host_id FROM range({N_HOSTS})"
+    elif dialect == "duckdb":
+        src = f"SELECT range AS host_id FROM range({N_HOSTS})"
+    else:
+        raise ValueError(dialect)
+    root = "'https://host' || CAST(host_id AS STRING) || '.example.com/'"
+    return f"""
+SELECT host_id, prefix, verdict, CAST(length(prefix) AS BIGINT) AS plen FROM (
+  SELECT host_id, {root} AS prefix, 'allow' AS verdict FROM ({src}) h
+  UNION ALL
+  SELECT host_id, {root} || 'about/' AS prefix, 'deny' AS verdict
+  FROM ({src}) h WHERE host_id % 3 = 0
+  UNION ALL
+  SELECT host_id, {root} || 'geo/' AS prefix, 'deny' AS verdict
+  FROM ({src}) h WHERE host_id % 5 = 1
+) r
+"""
+
+
+def q_url_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style longest-prefix URL policy (crawl-pipeline hygiene):
+    every url is labeled by the most specific matching rule of its
+    host (allow/deny + matched prefix length).
+
+    Plan shape: rules are a per-host DIMENSION — one array row per
+    host (collect_list of (plen, verdict, prefix) structs; the
+    aggregate that picks the winner is order-independent, so the
+    nondeterministic collect order is safe) — equi-joined on host_id,
+    then the longest matching prefix is picked by array_max over the
+    filtered struct array inside ONE codegen projection: zero fan-out,
+    zero window, no per-url rule explosion. At web scale the rules
+    side is host-count-sized, exactly what AQE broadcasts."""
+    dp = spark.sparkContext.defaultParallelism
+    pages = pages_df(spark, sf_dir, parallelism=dp).select("page_id", "host_id", "url")
+    rules = spark.sql(_url_rules_sql("spark"))
+    per_host = rules.groupBy("host_id").agg(
+        F.collect_list(F.struct("plen", "verdict", "prefix")).alias("rules")
+    )
+    j = pages.join(per_host, "host_id")
+    best = F.array_max(F.expr("filter(rules, r -> startswith(url, r.prefix))"))
+    return j.withColumn("best", best).select(
+        "page_id",
+        F.col("best.verdict").alias("verdict"),
+        F.col("best.plen").cast("long").alias("plen"),
+    )
+
+
+SQL_URL_RULES_FILTER = f"""{ORACLE_PREFIX},
+rules AS ({_url_rules_sql("duckdb")})
+SELECT p.page_id, arg_max(r.verdict, r.plen) AS verdict,
+       CAST(max(r.plen) AS BIGINT) AS plen
+FROM pages p JOIN rules r
+  ON p.host_id = r.host_id AND starts_with(p.url, r.prefix)
+GROUP BY p.page_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -2980,6 +3156,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_steps": q_funnel_steps,
     "triangle_count": q_triangle_count,
     "resample_ffill": q_resample_ffill,
+    "token_rarity": q_token_rarity,
+    "patch_overlap_area": q_patch_overlap_area,
+    "url_rules_filter": q_url_rules_filter,
 }
 
 # The driver's CORRECTNESS snapshot caps at 50 entries, taken in registry
@@ -2989,6 +3168,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # a green row in some CORRECTNESS_r*.json.  The repo's replica gate
 # (tests/test_oracle_parity.py) always runs ALL entries regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    "token_rarity",
+    "patch_overlap_area",
+    "url_rules_filter",
     "tile_assign_polar",
     "image_decode_bmp",
     "audio_features_wav",
@@ -3008,6 +3190,9 @@ QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_PRIORITY} | {
 }
 
 ORACLES: dict[str, str] = {
+    "token_rarity": SQL_TOKEN_RARITY,
+    "patch_overlap_area": SQL_PATCH_OVERLAP_AREA,
+    "url_rules_filter": SQL_URL_RULES_FILTER,
     "host_quota_sample": SQL_HOST_QUOTA_SAMPLE,
     "pagerank_hosts": _pagerank_oracle_sql(2),
     "prefix_dup": SQL_PREFIX_DUP,
