@@ -545,11 +545,16 @@ def materialize(
     # written files' row-group min/max stats on (tile_id, time_idx,
     # channel) are tight (the pruning the module docstring promises —
     # sorting the PLAN rows is cheap; the kernel preserves row order
-    # so the block rows land sorted too), then localCheckpoint
+    # so the block rows land sorted too), then localCheckpoint.
+    # EXPLICIT partition count: a bare repartition(col) is an AQE
+    # coalesce target — at bench scale the plan rows are a few KB and
+    # AQE folds them into ONE partition, serializing the whole fill
+    # kernel + write behind a single task (measured: 2x tiles/sec).
+    # N_PARTS pins the bucket layout the module docstring promises
     # (CLAUDE.md rule: 2+ consumers -> checkpoint, never cache whose
     # evicted partitions silently recompute the anti-join per action)
     missing = (
-        missing.repartition(F.col("pt"))
+        missing.repartition(N_PARTS, F.col("pt"))
         .sortWithinPartitions("tile_id", "time_idx", "channel")
         .localCheckpoint(eager=True)
     )
@@ -660,7 +665,7 @@ def materialize_patch(
     cand = (
         cand.withColumn("pt", (F.col("tile_id") % N_PARTS).cast("int"))
         .withColumn("batch_id", F.lit(batch_id))
-        .repartition(F.col("pt"))
+        .repartition(N_PARTS, F.col("pt"))
         .sortWithinPartitions("tile_id", "time_idx", "channel")
         .localCheckpoint(eager=True)  # feeds kernel + lineage + count
     )
@@ -695,7 +700,7 @@ def materialize_patch(
         )
         .drop("old_block")
         .select(*[f.split()[0] for f in BLOCK_WRITE_SCHEMA.split(", ")])
-        .repartition(F.col("pt"))
+        .repartition(N_PARTS, F.col("pt"))
         .sortWithinPartitions("tile_id", "time_idx", "channel")
     )
     patch_block_dir = os.path.join(path, "blocks", f"batch={batch_id}")

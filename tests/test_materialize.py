@@ -294,8 +294,9 @@ def test_event_log_rows_and_duration_rollup(spark, cube):
     assert sum(r.n_bytes for r in gen_dur) == 18 * 8 * 100 * 100
     for r in dur:
         assert r.duration_us == r.t_end_us - r.t_start_us >= 0
-    # every generate lane has a matching write lane (two-phase Gantt)
-    assert {(r.batch_id, r.partition_id) for r in gen_dur} == {
+    # every generate lane has a matching write lane (two-phase Gantt);
+    # write lanes may exceed gen lanes (empty-bucket tasks still write)
+    assert {(r.batch_id, r.partition_id) for r in gen_dur} <= {
         (r.batch_id, r.partition_id) for r in dur if r.action == "write"
     }
     # a second idempotent run adds no events
@@ -324,7 +325,10 @@ def test_event_log_crash_invisible(spark, cube):
     wr = ev.filter(F.col("action") == "write").collect()
     assert len(wr) >= 1
     gen_pids = {r["partition_id"] for r in gen.collect()}
-    assert {r["partition_id"] for r in wr} == gen_pids
+    # superset, not equality: the N_PARTS-pinned fill writes one part
+    # file per task, and tasks whose bucket got no chunks still commit
+    # an empty part (a real write, recorded as a real lane)
+    assert {r["partition_id"] for r in wr} >= gen_pids
     for r in wr:
         assert r["n_bytes"] > 0 and r["t_end_us"] >= r["t_start_us"]
         assert r["chunk_key"] is None and r["tile_id"] is None
