@@ -398,3 +398,39 @@ def test_bm25_topk_is_take_ordered(spark):
     plan = plan_of(q_bm25_rank(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan  # scoring is all JVM higher-order fns
+
+
+def test_patch_overlap_is_equi_join_not_nlj(spark):
+    """The pairwise-overlap join must meet on the neighbor-cell EQUI
+    key (hash join) — a naive interval-condition self-join plans the
+    O(n^2) BroadcastNestedLoopJoin this operator exists to avoid."""
+    from smart_geocubes_spark.queries import q_patch_overlap_area
+
+    plan = plan_of(q_patch_overlap_area(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan  # integer min/max math in codegen
+
+
+def test_url_rules_filter_no_window_no_fanout(spark):
+    """Longest-prefix rule pick must be the array_max projection over
+    the per-host rule array: one hash join on host_id, ZERO windows
+    (a per-url window on a unique key is the anti-pattern) and no
+    row fan-out join on the rules."""
+    from smart_geocubes_spark.queries import q_url_rules_filter
+
+    plan = plan_of(q_url_rules_filter(spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_token_rarity_single_token_pass(spark):
+    """The token frame must be computed ONCE (eager checkpoint) and
+    feed both the tf aggregate and the join side as checkpoint scans —
+    re-tokenizing the corpus per consumer doubles the dominant cost."""
+    from smart_geocubes_spark.queries import q_token_rarity
+
+    plan = plan_of(q_token_rarity(spark, SF))
+    assert plan.count("ExistingRDD") == 2  # both subtrees read the checkpoint
+    assert "ArrowEvalPython" not in plan  # JVM regexp tokenization
