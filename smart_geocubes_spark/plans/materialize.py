@@ -700,7 +700,12 @@ def materialize_patch(
         )
         .drop("old_block")
         .select(*[f.split()[0] for f in BLOCK_WRITE_SCHEMA.split(", ")])
-        .repartition(N_PARTS, F.col("pt"))
+        # advisory repartition (no pinned count): these rows carry the
+        # ~80 KB block arrays, so AQE sizes the write sensibly — a tiny
+        # patch lands 1-2 part files instead of N_PARTS near-empty ones
+        # (the kernel-feeding frame above IS pinned: its rows are
+        # KB-sized plan rows AQE would fold into one serial task)
+        .repartition(F.col("pt"))
         .sortWithinPartitions("tile_id", "time_idx", "channel")
     )
     patch_block_dir = os.path.join(path, "blocks", f"batch={batch_id}")

@@ -2921,9 +2921,12 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joins it; no windows, no per-row Python."""
     ensure_base_views(spark, sf_dir)
     corpus = corpus_df(spark)
+    # explicit whitespace class, NOT \S: Java (Spark) and RE2 (DuckDB)
+    # disagree on \s membership (e.g. \x0B) — the explicit class is
+    # identical in both engines regardless of fixture content
     tok = corpus.select(
         "doc_id",
-        F.explode(F.expr(r"regexp_extract_all(text, '(\\S+)', 1)")).alias("tok"),
+        F.explode(F.expr(r"regexp_extract_all(text, '([^ \\t\\n\\r\\f]+)', 1)")).alias("tok"),
     ).localCheckpoint(eager=True)
     tf = tok.groupBy("tok").agg(F.count("*").cast("long").alias("tf"))
     return (
@@ -2938,7 +2941,7 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_RARITY = f"""WITH corpus AS ({CORPUS_SQL}),
 tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM corpus
+  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS tok FROM corpus
 ),
 tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(tf) AS BIGINT) AS tf_sum
@@ -3017,7 +3020,7 @@ def _url_rules_sql(dialect: str) -> str:
     deny /about/ on every 3rd host, /geo/ on hosts ≡ 1 mod 5). One
     builder, both engines — prefix lengths are distinct per host, so
     longest-match-wins needs no tiebreak."""
-    from smart_geocubes_spark.sources.synth import N_HOSTS
+    from smart_geocubes_spark.sources.synth import N_HOSTS, URL_ROOT_SQL
 
     if dialect == "spark":
         src = f"SELECT id AS host_id FROM range({N_HOSTS})"
@@ -3025,7 +3028,10 @@ def _url_rules_sql(dialect: str) -> str:
         src = f"SELECT range AS host_id FROM range({N_HOSTS})"
     else:
         raise ValueError(dialect)
-    root = "'https://host' || CAST(host_id AS STRING) || '.example.com/'"
+    # the ONE url-root fragment pages_sql builds urls from — a second
+    # literal here would silently desync the rule prefixes from the
+    # generated urls (review finding, round 4)
+    root = URL_ROOT_SQL
     return f"""
 SELECT host_id, prefix, verdict, CAST(length(prefix) AS BIGINT) AS plen FROM (
   SELECT host_id, {root} AS prefix, 'allow' AS verdict FROM ({src}) h
@@ -3060,10 +3066,18 @@ def q_url_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = pages.join(per_host, "host_id")
     best = F.array_max(F.expr("filter(rules, r -> startswith(url, r.prefix))"))
-    return j.withColumn("best", best).select(
-        "page_id",
-        F.col("best.verdict").alias("verdict"),
-        F.col("best.plen").cast("long").alias("plen"),
+    # a url matching NO rule is DROPPED (same semantics as the oracle's
+    # inner join + GROUP BY) — never emitted with NULL verdict; every
+    # fixture url matches its host root, but the contract must not
+    # depend on that
+    return (
+        j.withColumn("best", best)
+        .filter(F.col("best").isNotNull())
+        .select(
+            "page_id",
+            F.col("best.verdict").alias("verdict"),
+            F.col("best.plen").cast("long").alias("plen"),
+        )
     )
 
 

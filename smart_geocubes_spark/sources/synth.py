@@ -51,6 +51,12 @@ TABLES = (
 ).split()
 
 
+#: THE url-root SQL fragment (shared by pages_sql and the URL-rule
+#: derivation in queries._url_rules_sql): a second literal of this
+#: would silently desync the rule prefixes from the generated urls
+URL_ROOT_SQL = "'https://host' || CAST(host_id AS STRING) || '.example.com/'"
+
+
 def pages_sql(orders_table: str = "orders", mult: int = 1) -> str:
     """Shared Spark/DuckDB SQL deriving the pages table from ``orders``.
 
@@ -104,11 +110,11 @@ p4 AS (
 )
 SELECT page_id, h1, h2, h3, has_geo, lat_e5, lon_e5, host_id, warc_epoch, lang,
        CASE WHEN has_geo THEN
-         'https://host' || CAST(host_id AS STRING) || '.example.com/geo/'
+         {URL_ROOT_SQL} || 'geo/'
            || CAST(lat_e5 AS STRING) || ',' || CAST(lon_e5 AS STRING)
            || '/page-' || CAST(page_id AS STRING)
        ELSE
-         'https://host' || CAST(host_id AS STRING) || '.example.com/about/page-'
+         {URL_ROOT_SQL} || 'about/page-'
            || CAST(page_id AS STRING)
        END AS url,
        CASE WHEN has_geo THEN

@@ -325,10 +325,13 @@ def test_event_log_crash_invisible(spark, cube):
     wr = ev.filter(F.col("action") == "write").collect()
     assert len(wr) >= 1
     gen_pids = {r["partition_id"] for r in gen.collect()}
-    # superset, not equality: the N_PARTS-pinned fill writes one part
-    # file per task, and tasks whose bucket got no chunks still commit
-    # an empty part (a real write, recorded as a real lane)
-    assert {r["partition_id"] for r in wr} >= gen_pids
+    # tight contract: every nonempty bucket's task commits a part file
+    # (a write lane), and the only extra file Spark may emit is the
+    # task-0 placeholder — so missing gen lanes CANNOT hide behind the
+    # superset (missing gen ROWS are separately caught by the
+    # chunk_key==lineage equality in the rollup test)
+    wr_pids = {r["partition_id"] for r in wr}
+    assert gen_pids <= wr_pids <= (gen_pids | {0})
     for r in wr:
         assert r["n_bytes"] > 0 and r["t_end_us"] >= r["t_start_us"]
         assert r["chunk_key"] is None and r["tile_id"] is None
