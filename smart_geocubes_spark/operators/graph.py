@@ -219,3 +219,49 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+def hits_fixed_point(edges: DataFrame, n_iter: int = 2) -> DataFrame:
+    """``n_iter`` UNNORMALIZED HITS rounds (Kleinberg hubs/authorities)
+    in pure BIGINT.
+
+    h0 = 1 for every node; a round is ``auth = A^T hub`` then
+    ``hub = A auth`` — exact integer sums, order-independent across
+    shuffles, so the result is bit-reproducible and the DuckDB oracle
+    replays it with unrolled CTEs. The per-round 1/||.|| normalization
+    of textbook HITS is a positive scalar: it never changes the
+    RANKING, so it is omitted and the scores stay integers. Growth is
+    bounded by n_nodes^(2*n_iter) per score; Spark 4 ANSI mode makes a
+    BIGINT overflow LOUD (raise), never silent — at web scale run few
+    rounds or rescale between rounds.
+
+    Plan shape: identical to pagerank_fixed_point — one hash join +
+    one aggregation per half-round over the checkpointed edge set
+    (Pregel-as-joins), rounds unrolled, no driver loop."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("host_id"))
+        .union(edges.select(F.col("dst").alias("host_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("hub", F.lit(1).cast("long"))
+    auth = None
+    for _ in range(n_iter):
+        a = (
+            edges.join(hub, edges["src"] == hub["host_id"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = nodes.join(a, nodes["host_id"] == a["node"], "left").select(
+            "host_id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("auth")
+        )
+        h = (
+            edges.join(auth, edges["dst"] == auth["host_id"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = nodes.join(h, nodes["host_id"] == h["node"], "left").select(
+            "host_id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("hub")
+        )
+    return hub.join(auth, "host_id").select("host_id", "hub", "auth")

@@ -3091,6 +3091,135 @@ GROUP BY p.page_id
 """
 
 
+# deterministic DIRECTED edge sampler for the HITS fixture (same
+# integer-hash idea as TRIANGLE_EDGE_KEEP but NOT canonicalized, so
+# in/out degrees stay asymmetric): the unsampled graphs are degenerate
+# for HITS — the single-target graph is REGULAR bipartite (uniform
+# degrees -> uniform scores, verified) and the two-target graph
+# saturates to near-complete at sf>=0.01.
+HITS_EDGE_KEEP = "(src * 53 + dst) % 7 < 3"
+
+
+def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two UNNORMALIZED HITS rounds (Kleinberg hubs/authorities) over
+    the sampled host link graph in pure BIGINT — the companion ranking
+    to pagerank_hosts (normalization is a positive per-round scalar, so
+    omitting it preserves the ranking and keeps the scores exactly
+    oracle-able; see operators.graph.hits_fixed_point)."""
+    from smart_geocubes_spark.operators.graph import (
+        hits_fixed_point,
+        host_link_edges_multi,
+    )
+
+    ensure_base_views(spark, sf_dir)
+    pages = spark.sql(pages_sql("orders"))
+    edges = host_link_edges_multi(pages).filter(F.expr(HITS_EDGE_KEEP))
+    return hits_fixed_point(edges, n_iter=2)
+
+
+def _hits_oracle_sql(n_iter: int = 2) -> str:
+    """Unrolled-CTE replay of hits_fixed_point (all-integer, so the
+    only contract is the same join/sum structure)."""
+    from smart_geocubes_spark.operators.graph import N_HOSTS
+
+    ctes = [
+        f"""edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT host_id AS src, h2 % {N_HOSTS} AS dst FROM pages
+    UNION ALL
+    SELECT host_id AS src, h3 % {N_HOSTS} AS dst FROM pages
+  ) e WHERE src <> dst AND {HITS_EDGE_KEEP}
+), nodes AS (
+  SELECT DISTINCT src AS host_id FROM edges
+  UNION
+  SELECT DISTINCT dst AS host_id FROM edges
+), h0 AS (SELECT host_id, CAST(1 AS BIGINT) AS hub FROM nodes)"""
+    ]
+    prev_h = "h0"
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""a{k}s AS (
+  SELECT e.dst AS host_id, CAST(sum(p.hub) AS BIGINT) AS auth
+  FROM edges e JOIN {prev_h} p ON e.src = p.host_id GROUP BY e.dst
+), a{k} AS (
+  SELECT n.host_id, CAST(coalesce(a.auth, 0) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN a{k}s a ON n.host_id = a.host_id
+), h{k}s AS (
+  SELECT e.src AS host_id, CAST(sum(a.auth) AS BIGINT) AS hub
+  FROM edges e JOIN a{k} a ON e.dst = a.host_id GROUP BY e.src
+), h{k} AS (
+  SELECT n.host_id, CAST(coalesce(h.hub, 0) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN h{k}s h ON n.host_id = h.host_id
+)"""
+        )
+        prev_h = f"h{k}"
+    body = ",\n".join(ctes)
+    return f"""{ORACLE_PREFIX},
+{body}
+SELECT h.host_id, h.hub, a.auth
+FROM h{n_iter} h JOIN a{n_iter} a ON h.host_id = a.host_id
+"""
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 SESSION-window streaming through the driver gate: the
+    availableNow ``session_window`` aggregation (streaming/pipeline.py)
+    runs as a real Structured Streaming query draining into a memory
+    sink; its batch semantics are the classic lag/gap/cumsum
+    sessionization, so the post-stream table is oracle-checked
+    rows+schema+hash. Boundary rule verified empirically: an event at
+    EXACTLY prev + gap MERGES into the session (Spark merges touching
+    windows), so a new session starts only when gap > 1800 s — the
+    same strict rule as the batch ``sessionize`` query."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_geocubes_spark.streaming.pipeline import stream_session_windows
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = None
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="sessstream_")
+        os.symlink(src, os.path.join(d, "part-0.parquet"))
+        src = d
+    try:
+        # availableNow terminates, so a fixed sink name is safe and the
+        # memory table is replaced (not accumulated) across gate runs
+        return stream_session_windows(
+            spark, src, gap_seconds=1800, query_name="gate_stream_sessions"
+        )
+    finally:
+        if d is not None:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_STREAM_SESSION_WINDOWS = """WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+g AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us ASC) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us ASC)
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(us) AS BIGINT) AS s_start_us,
+       CAST(max(us) + 1800 * 1000000 AS BIGINT) AS s_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sid
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -3173,6 +3302,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_rarity": q_token_rarity,
     "patch_overlap_area": q_patch_overlap_area,
     "url_rules_filter": q_url_rules_filter,
+    "hits_hosts": q_hits_hosts,
+    "stream_session_windows": q_stream_session_windows,
 }
 
 # The driver's CORRECTNESS snapshot caps at 50 entries, taken in registry
@@ -3182,6 +3313,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # a green row in some CORRECTNESS_r*.json.  The repo's replica gate
 # (tests/test_oracle_parity.py) always runs ALL entries regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    "hits_hosts",
+    "stream_session_windows",
     "token_rarity",
     "patch_overlap_area",
     "url_rules_filter",
@@ -3204,6 +3337,8 @@ QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_PRIORITY} | {
 }
 
 ORACLES: dict[str, str] = {
+    "hits_hosts": _hits_oracle_sql(2),
+    "stream_session_windows": SQL_STREAM_SESSION_WINDOWS,
     "token_rarity": SQL_TOKEN_RARITY,
     "patch_overlap_area": SQL_PATCH_OVERLAP_AREA,
     "url_rules_filter": SQL_URL_RULES_FILTER,

@@ -140,3 +140,45 @@ def stream_dedup_within_watermark(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    gap_seconds: int = 1800,
+    query_name: str = "stream_sessions",
+) -> DataFrame:
+    """SESSION-window aggregation over event time (Structured
+    Streaming ``session_window``): per user, events within
+    ``gap_seconds`` of the previous event merge into one session
+    [first_ts, last_ts + gap). availableNow drain into a memory sink,
+    complete output mode (no watermark: complete retains all session
+    state, so the drained result is the deterministic batch answer —
+    the gate oracle replays it with the classic lag/gap/cumsum
+    sessionization). Session bounds export as epoch-MICROSECOND
+    BIGINTs (no tz anywhere near the compare)."""
+    schema = spark.read.parquet(events_parquet_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_parquet_dir)
+    agg = (
+        src.withColumn("ets", F.col("ts").cast("timestamp"))
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ets"), f"{gap_seconds} seconds").alias("w"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("s_start_us"),
+            F.unix_micros(F.col("w.end")).alias("s_end_us"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -65,6 +65,18 @@ class TestPagerankFixedPoint:
             assert 150_000_000 <= r["pr_scaled"] <= 7 * 1_000_000_000
 
 
+class TestHitsFixedPoint:
+    def test_hand_computed_two_rounds(self, spark):
+        # 0->{1,2}, 1->{2}; h0=1 everywhere.
+        # a1 = (0:0, 1:1, 2:2); h1 = (0:3, 1:2, 2:0)
+        # a2 = (0:0, 1:3, 2:5); h2 = (0:8, 1:5, 2:0)
+        from smart_geocubes_spark.operators.graph import hits_fixed_point
+
+        out = hits_fixed_point(_edges(spark, [(0, 1), (0, 2), (1, 2)]), n_iter=2)
+        got = {r["host_id"]: (r["hub"], r["auth"]) for r in out.collect()}
+        assert got == {0: (8, 0), 1: (5, 3), 2: (0, 5)}
+
+
 class TestPrefixSuperseded:
     def _df(self, spark, keys):
         return spark.createDataFrame(

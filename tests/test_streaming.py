@@ -120,3 +120,30 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = out.groupBy("page_id").count().filter("count > 1").count()
     assert got == 0
     assert out.select("page_id").distinct().count() == 50
+
+
+def test_stream_session_windows(spark, tmp_path):
+    """session_window boundary rule: an event at EXACTLY prev + gap
+    MERGES (Spark merges touching windows) — pinned here because the
+    gate oracle replays the stream with the strict gap > g rule."""
+    from smart_geocubes_spark.streaming.pipeline import stream_session_windows
+
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, 0), (1, 1800_000_000), (1, 3_599_000_000), (2, 0), (2, 3_600_000_001)],
+        "user_id bigint, us bigint",
+    ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts")).coalesce(
+        1
+    ).write.parquet(d)
+    got = {
+        (r.user_id, r.s_start_us): (r.s_end_us, r.n_events)
+        for r in stream_session_windows(
+            spark, d, gap_seconds=1800, query_name="sess_t"
+        ).collect()
+    }
+    assert got == {
+        # exact-gap event merged; window end = last_ts + gap
+        (1, 0): (3_599_000_000 + 1800_000_000, 3),
+        (2, 0): (1800_000_000, 1),
+        (2, 3_600_000_001): (3_600_000_001 + 1800_000_000, 1),
+    }
