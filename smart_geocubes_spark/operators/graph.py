@@ -265,3 +265,29 @@ def hits_fixed_point(edges: DataFrame, n_iter: int = 2) -> DataFrame:
             "host_id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("hub")
         )
     return hub.join(auth, "host_id").select("host_id", "hub", "auth")
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """Unrolled multi-source BFS: min forward-hop distance from the
+    seed set within ``n_rounds`` hops (unreached nodes absent).
+
+    Round k is ``dist := min(dist, min over edges u->v of dist(u)+1)``
+    — a hash join + a combining min-aggregate per round over the
+    checkpointed edge set, the same Pregel-as-joins shape as
+    pagerank_fixed_point/hits_fixed_point. Distances are small BIGINTs;
+    min is order-independent, so the result is bit-reproducible and the
+    DuckDB oracle replays it with unrolled CTEs. At web scale the
+    frontier frame stays node-sized and every join is an equi-join on
+    host_id — no broadcast assumption on the node side."""
+    edges = edges.localCheckpoint(eager=True)
+    dist = seeds.select(F.col("host_id").cast("long"), F.lit(0).cast("long").alias("dist"))
+    for _ in range(n_rounds):
+        step = edges.join(dist, edges["src"] == dist["host_id"]).select(
+            F.col("dst").alias("host_id"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("host_id")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist

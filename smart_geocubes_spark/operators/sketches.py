@@ -80,3 +80,62 @@ def kmv_bottom_k(values: DataFrame, col: str, k: int = 64) -> DataFrame:
             F.expr(kmv_est_expr(k)).alias("est_distinct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# with d x W bounded state.  Buckets are md5 HEX PREFIXES, not integers:
+# substr(md5('<j>|' || key), 1, CMS_HEX) is byte-identical in Spark and
+# DuckDB (the minhash family already relies on this), which makes the
+# whole sketch — counters AND estimates — exactly oracle-able without a
+# cross-engine hex->int conversion.
+#
+# Scale shape: the counter build is one map-side-combining aggregation of
+# d*n generator rows into d*W groups (W = 16^CMS_HEX); the counter table
+# is KBs at any corpus size, so the probe side joins it broadcast.  The
+# classic two-pass heavy-hitters: sketch pass + candidate probe pass,
+# bounded memory at 100 TB.  Standard guarantee: est >= true count
+# always (only over-counts on collisions); est <= true + eps*N w.h.p.
+# ---------------------------------------------------------------------------
+
+CMS_D = 3  # hash rows
+# hex chars per bucket key -> W = 16^CMS_HEX buckets per row.  1 hex
+# char (W=16) at fixture scale: the synthetic corpus has a ~66-token
+# vocabulary, so W=256 would never collide and the gate would only
+# ever see est == tf — W=16 forces real collisions and the compare
+# covers the over-count + min-reduction path.  Production sizing is
+# eps = e/W: pick CMS_HEX from the tolerated over-count, not this.
+CMS_HEX = 1
+
+
+def cms_bucket_sql(col: str, j: int) -> str:
+    """ONE bucket expression per hash row, interpolated verbatim into
+    both the Spark selectExpr and the DuckDB oracle."""
+    return f"substr(md5('{j}|' || {col}), 1, {CMS_HEX})"
+
+
+def _cms_stack_expr(col: str) -> str:
+    args = ", ".join(f"{j}, {cms_bucket_sql(col, j)}" for j in range(CMS_D))
+    return f"stack({CMS_D}, {args}) AS (j, bucket)"
+
+
+def cms_counters(keys: DataFrame, col: str) -> DataFrame:
+    """d x W counter table from one occurrence-stream pass: each key
+    row fans out to CMS_D (j, bucket) generator rows (no shuffle until
+    the combining aggregate)."""
+    return (
+        keys.selectExpr(_cms_stack_expr(col))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(candidates: DataFrame, col: str, counters: DataFrame) -> DataFrame:
+    """min over the d probed counters per candidate key — the CMS
+    point estimate.  counters is d*W rows by construction: broadcast."""
+    probes = candidates.selectExpr(col, _cms_stack_expr(col))
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy(col)
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )

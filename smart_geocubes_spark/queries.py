@@ -3220,6 +3220,247 @@ GROUP BY user_id, sid
 """
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over the corpus token stream:
+    tokens whose SKETCH estimate is >= 1% of all token occurrences,
+    reported with both the estimate and the exact count (est >= tf
+    always — CMS only over-counts, and W=16 forces real collisions at
+    fixture vocabulary, so the gate covers the min-reduction path, not
+    just est == tf).
+
+    Plan shape: the two-pass bounded-memory heavy-hitters — counter
+    build is ONE combining aggregate of d*n generator rows into d*W
+    groups; the d*W counter table is KBs at any corpus size and joins
+    the probe side broadcast. The token frame feeds three subtrees
+    (counters, exact tf, total) -> eager checkpoint per CLAUDE.md."""
+    from smart_geocubes_spark.operators.sketches import cms_counters, cms_estimate
+
+    ensure_base_views(spark, sf_dir)
+    corpus = corpus_df(spark)
+    tok = corpus.select(
+        F.explode(F.expr(r"regexp_extract_all(text, '([^ \\t\\n\\r\\f]+)', 1)")).alias("tok")
+    ).localCheckpoint(eager=True)
+    counters = cms_counters(tok, "tok")
+    tf = tok.groupBy("tok").agg(F.count("*").cast("long").alias("tf"))
+    tf = tf.localCheckpoint(eager=True)  # feeds the probe AND the final join
+    est = cms_estimate(tf.select("tok"), "tok", counters)
+    total = tok.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        tf.join(est, "tok")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cms_est") * 100 >= F.col("n_total"))
+        .select("tok", "tf", "cms_est")
+    )
+
+
+def _cms_oracle_sql() -> str:
+    from smart_geocubes_spark.operators.sketches import CMS_D, cms_bucket_sql
+
+    counter_branches = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS j, {cms_bucket_sql('tok', j)} AS bucket FROM tok"
+        for j in range(CMS_D)
+    )
+    probe_branches = "\n  UNION ALL\n".join(
+        f"  SELECT tok, {j} AS j, {cms_bucket_sql('tok', j)} AS bucket FROM tf"
+        for j in range(CMS_D)
+    )
+    return f"""WITH corpus AS ({CORPUS_SQL}),
+tok AS (
+  SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS tok FROM corpus
+),
+counters AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+{counter_branches}
+  ) u GROUP BY j, bucket
+),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok),
+est AS (
+  SELECT p.tok, CAST(min(c.cnt) AS BIGINT) AS cms_est FROM (
+{probe_branches}
+  ) p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+  GROUP BY p.tok
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+SELECT tf.tok, tf.tf, e.cms_est
+FROM tf JOIN est e ON e.tok = tf.tok, total
+WHERE e.cms_est * 100 >= total.n_total
+"""
+
+
+# posting-list segment width (doc_ids per segment): bounds every
+# postings array at SEG_DOCS entries regardless of token frequency
+SEG_DOCS = 1000
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented inverted index over the corpus: (token, doc_id-range
+    segment) -> sorted posting list + per-segment document frequency.
+
+    Segmenting is the 100-TB shape: a stop-word's GLOBAL posting list
+    does not fit one task, but per (token, segment) every array is
+    capped at SEG_DOCS entries, the build stays one combining
+    aggregate, and readers union a token's segments lazily — the
+    standard sharded-postings layout. array_sort(collect_set(...))
+    makes the array order deterministic (Spark's collect order is not),
+    matching the oracle's list(... ORDER BY ...)."""
+    ensure_base_views(spark, sf_dir)
+    corpus = corpus_df(spark)
+    pairs = corpus.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(text, '([^ \\t\\n\\r\\f]+)', 1)")).alias("tok"),
+    ).distinct()
+    return (
+        pairs.select(
+            "tok",
+            F.expr(f"doc_id div {SEG_DOCS}").cast("long").alias("segment"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        .groupBy("tok", "segment")
+        .agg(
+            F.count("*").cast("long").alias("df_seg"),
+            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
+
+
+SQL_INVERTED_INDEX = f"""WITH corpus AS ({CORPUS_SQL}),
+tokp AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS tok FROM corpus
+),
+pairs AS (SELECT DISTINCT doc_id, tok FROM tokp)
+SELECT tok, CAST(doc_id // {SEG_DOCS} AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS df_seg,
+       list(CAST(doc_id AS BIGINT) ORDER BY doc_id) AS postings
+FROM pairs
+GROUP BY tok, doc_id // {SEG_DOCS}
+"""
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 (lower) percentiles of event value-cents per
+    event_type by RANK SELECTION: idx_q = (n-1)*q div 100 + 1 in pure
+    integer math, value picked where row_number == idx_q. Integer
+    cents end to end, so both engines select the identical element.
+
+    Scale note: exact selection needs the per-key sort (one window
+    shuffle here); the production path for 100-TB percentiles is a
+    mergeable rank sketch (percentile_approx / KLL) — this query is
+    the exact baseline those estimates are judged against, same role
+    as ann_cosine_topk vs the LSH/IVF paths."""
+    from pyspark.sql import Window
+
+    ensure_base_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").asc(), F.col("event_id").asc()
+    )
+    wc = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+
+    def pick(q: int):
+        return F.max(
+            F.when(F.col("rn") == F.expr(f"((n - 1) * {q}) div 100 + 1"), F.col("cents"))
+        ).cast("long")
+
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(50).alias("p50_cents"),
+        pick(90).alias("p90_cents"),
+        pick(99).alias("p99_cents"),
+    )
+
+
+SQL_EXACT_QUANTILES = """WITH e AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN cents END) AS BIGINT) AS p50_cents,
+       CAST(max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN cents END) AS BIGINT) AS p90_cents,
+       CAST(max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN cents END) AS BIGINT) AS p99_cents
+FROM r GROUP BY event_type
+"""
+
+
+# sparsifier for the BFS fixture: ~2/23 of directed pairs keeps the
+# average out-degree ~4, so 3 rounds produce a real 0..3 distance mix
+# (the unsampled multi graph is near-complete at sf>=0.01 — every
+# distance would be 0 or 1 and the min-propagation path untested)
+BFS_EDGE_KEEP = "(src * 53 + dst) % 23 < 2"
+BFS_SEED_MOD = 17  # seeds = nodes with host_id % 17 == 0
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round multi-source BFS (min forward-hop distance from the
+    seed set) over the sparsified host link graph — the frontier-
+    propagation member of the graph family beside pagerank_hosts /
+    hits_hosts; see operators.graph.bfs_hops for the join shape."""
+    from smart_geocubes_spark.operators.graph import bfs_hops, host_link_edges_multi
+
+    ensure_base_views(spark, sf_dir)
+    pages = spark.sql(pages_sql("orders"))
+    edges = host_link_edges_multi(pages).filter(F.expr(BFS_EDGE_KEEP))
+    nodes = edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
+    seeds = nodes.filter(F.col("src") % BFS_SEED_MOD == 0).select(
+        F.col("src").alias("host_id")
+    )
+    return bfs_hops(edges, seeds, n_rounds=3)
+
+
+def _bfs_oracle_sql(n_rounds: int = 3) -> str:
+    """Unrolled-CTE replay of bfs_hops (all-integer min-propagation)."""
+    from smart_geocubes_spark.operators.graph import N_HOSTS
+
+    ctes = [
+        f"""edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT host_id AS src, h2 % {N_HOSTS} AS dst FROM pages
+    UNION ALL
+    SELECT host_id AS src, h3 % {N_HOSTS} AS dst FROM pages
+  ) e WHERE src <> dst AND {BFS_EDGE_KEEP}
+), nodes AS (
+  SELECT DISTINCT src AS host_id FROM edges
+  UNION
+  SELECT DISTINCT dst AS host_id FROM edges
+), d0 AS (
+  SELECT host_id, CAST(0 AS BIGINT) AS dist FROM nodes
+  WHERE host_id % {BFS_SEED_MOD} = 0
+)"""
+    ]
+    prev = "d0"
+    for k in range(1, n_rounds + 1):
+        ctes.append(
+            f"""d{k} AS (
+  SELECT host_id, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT host_id, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS host_id, p.dist + 1 AS dist
+    FROM edges e JOIN {prev} p ON e.src = p.host_id
+  ) u GROUP BY host_id
+)"""
+        )
+        prev = f"d{k}"
+    body = ",\n".join(ctes)
+    return f"""{ORACLE_PREFIX},
+{body}
+SELECT host_id, dist FROM {prev}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -3304,6 +3545,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_rules_filter": q_url_rules_filter,
     "hits_hosts": q_hits_hosts,
     "stream_session_windows": q_stream_session_windows,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "inverted_index": q_inverted_index,
+    "exact_quantiles": q_exact_quantiles,
+    "bfs_hops": q_bfs_hops,
 }
 
 # The driver's CORRECTNESS snapshot caps at 50 entries, taken in registry
@@ -3315,6 +3560,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _DRIVER_WINDOW_PRIORITY = [
     "hits_hosts",
     "stream_session_windows",
+    "cms_heavy_hitters",
+    "inverted_index",
+    "exact_quantiles",
+    "bfs_hops",
     "token_rarity",
     "patch_overlap_area",
     "url_rules_filter",
@@ -3339,6 +3588,10 @@ QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_PRIORITY} | {
 ORACLES: dict[str, str] = {
     "hits_hosts": _hits_oracle_sql(2),
     "stream_session_windows": SQL_STREAM_SESSION_WINDOWS,
+    "cms_heavy_hitters": _cms_oracle_sql(),
+    "inverted_index": SQL_INVERTED_INDEX,
+    "exact_quantiles": SQL_EXACT_QUANTILES,
+    "bfs_hops": _bfs_oracle_sql(3),
     "token_rarity": SQL_TOKEN_RARITY,
     "patch_overlap_area": SQL_PATCH_OVERLAP_AREA,
     "url_rules_filter": SQL_URL_RULES_FILTER,

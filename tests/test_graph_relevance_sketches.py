@@ -336,3 +336,60 @@ def test_embedding_fixture_keeps_tau_margin():
         "GEMM kernel and the fold-based oracle may now disagree on it; "
         "regenerate the fixture or adjust tau"
     )
+
+
+class TestCountMinSketch:
+    def _keys(self, spark, toks):
+        return spark.createDataFrame([(t,) for t in toks], "tok string")
+
+    def test_overestimate_and_exact_on_no_collision(self, spark):
+        from smart_geocubes_spark.operators.sketches import cms_counters, cms_estimate
+
+        toks = ["a"] * 7 + ["b"] * 3 + ["c"] * 1
+        keys = self._keys(spark, toks)
+        counters = cms_counters(keys, "tok")
+        est = cms_estimate(keys.distinct(), "tok", counters)
+        got = {r.tok: r.cms_est for r in est.collect()}
+        # CMS guarantee: never under-counts
+        assert got["a"] >= 7 and got["b"] >= 3 and got["c"] >= 1
+        # with 3 keys in 3x16 buckets, at least one row of the 3 is
+        # collision-free for every key -> min recovers the exact count
+        assert got == {"a": 7, "b": 3, "c": 1}
+
+    def test_counters_merge_law(self, spark):
+        """CMS counters are mergeable by per-cell ADDITION — the
+        property that lets shard sketches combine at any fan-in."""
+        from smart_geocubes_spark.operators.sketches import cms_counters
+
+        s1 = ["x"] * 4 + ["y"] * 2
+        s2 = ["y"] * 5 + ["z"] * 3
+        whole = cms_counters(self._keys(spark, s1 + s2), "tok")
+        merged = (
+            cms_counters(self._keys(spark, s1), "tok")
+            .unionByName(cms_counters(self._keys(spark, s2), "tok"))
+            .groupBy("j", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        w = {(r.j, r.bucket): r.cnt for r in whole.collect()}
+        m = {(r.j, r.bucket): r.cnt for r in merged.collect()}
+        assert w == m
+
+
+class TestBfsHops:
+    def test_hand_computed_chain(self, spark):
+        # 0->1->2->3->4 chain plus shortcut 0->3; seed = {0}
+        from smart_geocubes_spark.operators.graph import bfs_hops
+
+        edges = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)])
+        seeds = spark.createDataFrame([(0,)], "host_id long")
+        got = {r.host_id: r.dist for r in bfs_hops(edges, seeds, n_rounds=3).collect()}
+        # shortcut wins for 3 (dist 1, not 3); 4 reached via shortcut at 2
+        assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+    def test_unreached_absent(self, spark):
+        from smart_geocubes_spark.operators.graph import bfs_hops
+
+        edges = _edges(spark, [(0, 1), (5, 6)])
+        seeds = spark.createDataFrame([(0,)], "host_id long")
+        got = {r.host_id: r.dist for r in bfs_hops(edges, seeds, n_rounds=3).collect()}
+        assert got == {0: 0, 1: 1}
