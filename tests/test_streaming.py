@@ -147,3 +147,67 @@ def test_stream_session_windows(spark, tmp_path):
         (2, 0): (1800_000_000, 1),
         (2, 3_600_000_001): (3_600_000_001 + 1800_000_000, 1),
     }
+
+
+class TestStreamFillRequests:
+    """Streaming ingestion into the cube store: exactly-once composed
+    from streaming checkpoint + lineage anti-join + commit tickets."""
+
+    def _mk_cube(self, tmp_path):
+        from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
+        from smart_geocubes_spark.plans.materialize import CubeSpec, create_cube
+
+        grid = TileGrid(
+            geobox=GeoBox(crs="EPSG:4326", x0=0.0, y0=20.0, res=0.01, width=2000, height=2000),
+            chunk_px=100,
+        )
+        path = str(tmp_path / "cube")
+        create_cube(path, CubeSpec(grid=grid, channels=("dem",), time_epochs=None))
+        return path
+
+    def _req(self, spark, dest, rows):
+        spark.createDataFrame(
+            rows, "minx double, miny double, maxx double, maxy double"
+        ).coalesce(1).write.mode("append").parquet(dest)
+
+    def test_drain_dedup_and_rerun(self, spark, tmp_path):
+        from smart_geocubes_spark.plans.materialize import load, read_lineage
+        from smart_geocubes_spark.streaming.ingest import stream_fill_requests
+
+        cube = self._mk_cube(tmp_path)
+        reqs = str(tmp_path / "reqs")
+        ckpt = str(tmp_path / "ckpt")
+        # two request FILES = two micro-batches (maxFilesPerTrigger=1);
+        # the second overlaps the first -> its overlap chunks must skip
+        self._req(spark, reqs, [(2.3, 15.2, 4.8, 17.9)])  # 3x3 tiles
+        self._req(spark, reqs, [(3.3, 14.2, 6.8, 16.9)])  # overlaps 2x2 of them
+
+        res = stream_fill_requests(spark, reqs, cube, ckpt)
+        assert len(res) == 2
+        assert res[0]["written"] == 9  # 9 tiles x 1 channel
+        assert res[1]["written"] == 12 - 4  # 12 tiles, 4 already filled
+        lin = read_lineage(spark, cube)
+        # exactly one lineage row per chunk: no chunk filled twice
+        assert lin.groupBy("chunk_key").count().filter("count > 1").count() == 0
+        assert load(spark, cube, (2.3, 14.2, 6.8, 17.9)).count() == 17
+
+        # availableNow re-run with the same checkpoint: nothing new
+        res2 = stream_fill_requests(spark, reqs, cube, ckpt)
+        assert res2 == []
+        assert read_lineage(spark, cube).count() == 17
+
+    def test_replayed_request_skips(self, spark, tmp_path):
+        """The same ROI arriving again in a LATER file (sink-side
+        replay analog) commits nothing: lineage anti-join dedups."""
+        from smart_geocubes_spark.plans.materialize import read_lineage
+        from smart_geocubes_spark.streaming.ingest import stream_fill_requests
+
+        cube = self._mk_cube(tmp_path)
+        reqs = str(tmp_path / "reqs")
+        self._req(spark, reqs, [(2.3, 15.2, 4.8, 17.9)])
+        self._req(spark, reqs, [(2.3, 15.2, 4.8, 17.9)])  # byte-identical replay
+        res = stream_fill_requests(spark, reqs, cube, str(tmp_path / "ckpt"))
+        assert [r["written"] for r in res] == [9, 0]
+        assert res[1]["skipped"] == "all cached"
+        assert res[1]["batch_id"] is None  # nothing committed under it
+        assert read_lineage(spark, cube).count() == 9
