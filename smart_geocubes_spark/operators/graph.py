@@ -278,10 +278,18 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, n_rounds: int = 3) -> DataFrame
     min is order-independent, so the result is bit-reproducible and the
     DuckDB oracle replays it with unrolled CTEs. At web scale the
     frontier frame stays node-sized and every join is an equi-join on
-    host_id — no broadcast assumption on the node side."""
+    host_id — no broadcast assumption on the node side.
+
+    Each round references the previous distance frame TWICE (the
+    carry-forward union arm and the join arm), so without a per-round
+    checkpoint the plan subtree DOUBLES per round — exponential plan
+    size in n_rounds (observed: 62 aggregate nodes at 3 rounds).
+    Checkpoint-per-round is the same discipline dedup's
+    connected-components loop uses for exactly this shape."""
     edges = edges.localCheckpoint(eager=True)
     dist = seeds.select(F.col("host_id").cast("long"), F.lit(0).cast("long").alias("dist"))
     for _ in range(n_rounds):
+        dist = dist.localCheckpoint(eager=True)  # 2 consumers below
         step = edges.join(dist, edges["src"] == dist["host_id"]).select(
             F.col("dst").alias("host_id"), (F.col("dist") + F.lit(1)).alias("dist")
         )

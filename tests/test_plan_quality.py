@@ -434,3 +434,60 @@ def test_token_rarity_single_token_pass(spark):
     plan = plan_of(q_token_rarity(spark, SF))
     assert plan.count("ExistingRDD") == 2  # both subtrees read the checkpoint
     assert "ArrowEvalPython" not in plan  # JVM regexp tokenization
+
+
+def test_hits_rounds_are_hash_joins(spark):
+    """Same Pregel-as-joins contract as pagerank: every half-round
+    join is a hash join, never a nested loop over the edge set."""
+    from smart_geocubes_spark.queries import q_hits_hosts
+
+    plan = plan_of(q_hits_hosts(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_bfs_rounds_are_hash_joins(spark):
+    from smart_geocubes_spark.queries import q_bfs_hops
+
+    plan = plan_of(q_bfs_hops(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_cms_probe_join_is_broadcast(spark):
+    """The d*W counter table is KBs by construction — the probe side
+    must join it BROADCAST (never shuffle the candidate set against
+    it), and the whole sketch stays JVM-side."""
+    from smart_geocubes_spark.queries import q_cms_heavy_hitters
+
+    plan = plan_of(q_cms_heavy_hitters(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the one nested loop is the 1-row n_total cross join (same
+    # accepted shape as bm25's stats join) — never the counter probe
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "ArrowEvalPython" not in plan  # md5 bucketing is codegen
+
+
+def test_inverted_index_single_aggregate_no_python(spark):
+    """Segmented postings build: explode -> distinct -> ONE combining
+    aggregate; no Python nodes, no windows (a per-token window sort
+    would be the global-sort anti-pattern the segmenting avoids)."""
+    from smart_geocubes_spark.queries import q_inverted_index
+
+    plan = plan_of(q_inverted_index(spark, SF))
+    assert "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_quantiles_one_sort_shuffle(spark):
+    """Rank selection needs exactly one hash exchange on event_type
+    (the window sort); the rest is a combining aggregate. No Python."""
+    from smart_geocubes_spark.queries import q_exact_quantiles
+
+    plan = plan_of(q_exact_quantiles(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+    assert "Window" in plan
+    assert "ArrowEvalPython" not in plan
