@@ -247,7 +247,7 @@ def hits_fixed_point(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     )
     hub = nodes.withColumn("hub", F.lit(1).cast("long"))
     auth = None
-    for _ in range(n_iter):
+    for i in range(n_iter):
         a = (
             edges.join(hub, edges["src"] == hub["host_id"])
             .groupBy(F.col("dst").alias("node"))
@@ -256,6 +256,11 @@ def hits_fixed_point(edges: DataFrame, n_iter: int = 2) -> DataFrame:
         auth = nodes.join(a, nodes["host_id"] == a["node"], "left").select(
             "host_id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("auth")
         )
+        if i == n_iter - 1:
+            # the last auth feeds TWO consumers (the final hub half-round
+            # AND the returned join) — without this checkpoint the whole
+            # auth chain subtree is duplicated in the final plan
+            auth = auth.localCheckpoint(eager=True)
         h = (
             edges.join(auth, edges["dst"] == auth["host_id"])
             .groupBy(F.col("src").alias("node"))
@@ -267,7 +272,12 @@ def hits_fixed_point(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     return hub.join(auth, "host_id").select("host_id", "hub", "auth")
 
 
-def bfs_hops(edges: DataFrame, seeds: DataFrame, n_rounds: int = 3) -> DataFrame:
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    edges_checkpointed: bool = False,
+) -> DataFrame:
     """Unrolled multi-source BFS: min forward-hop distance from the
     seed set within ``n_rounds`` hops (unreached nodes absent).
 
@@ -285,8 +295,14 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, n_rounds: int = 3) -> DataFrame
     checkpoint the plan subtree DOUBLES per round — exponential plan
     size in n_rounds (observed: 62 aggregate nodes at 3 rounds).
     Checkpoint-per-round is the same discipline dedup's
-    connected-components loop uses for exactly this shape."""
-    edges = edges.localCheckpoint(eager=True)
+    connected-components loop uses for exactly this shape.
+
+    ``edges_checkpointed=True`` is the caller's contract that the edge
+    frame is ALREADY eagerly checkpointed (e.g. because the caller also
+    derived the seed set from it) — skipping the internal checkpoint
+    avoids materializing a second copy of an edge-scale frame."""
+    if not edges_checkpointed:
+        edges = edges.localCheckpoint(eager=True)
     dist = seeds.select(F.col("host_id").cast("long"), F.lit(0).cast("long").alias("dist"))
     for _ in range(n_rounds):
         dist = dist.localCheckpoint(eager=True)  # 2 consumers below

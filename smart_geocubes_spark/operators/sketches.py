@@ -132,10 +132,16 @@ def cms_counters(keys: DataFrame, col: str) -> DataFrame:
 
 def cms_estimate(candidates: DataFrame, col: str, counters: DataFrame) -> DataFrame:
     """min over the d probed counters per candidate key — the CMS
-    point estimate.  counters is d*W rows by construction: broadcast."""
+    point estimate.  counters is d*W rows by construction: broadcast.
+
+    LEFT join + coalesce(0): a candidate key ABSENT from the sketched
+    stream probes one or more EMPTY cells, which the counter table does
+    not materialize — an inner join would drop those probes and inflate
+    the min (or lose the key entirely when all d cells are empty). The
+    empty cell's true counter is 0 and must win the min."""
     probes = candidates.selectExpr(col, _cms_stack_expr(col))
     return (
-        probes.join(F.broadcast(counters), ["j", "bucket"])
+        probes.join(F.broadcast(counters), ["j", "bucket"], "left")
         .groupBy(col)
-        .agg(F.min("cnt").cast("long").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
     )

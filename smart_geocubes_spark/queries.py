@@ -2906,6 +2906,17 @@ FROM j
 # ---------------------------------------------------------------------------
 
 
+# THE whitespace tokenizer, one fragment per engine (token_rarity,
+# cms_heavy_hitters, inverted_index): an explicit whitespace class,
+# NOT \S — Java (Spark) and RE2 (DuckDB) disagree on \s membership
+# (e.g. \x0B), the explicit class is identical in both regardless of
+# fixture content.  Spark's regexp_extract_all needs the capture
+# group + index; DuckDB's takes the bare pattern.  Edit BOTH together
+# or parity breaks with a confusing value-hash diff.
+TOKENIZE_SPARK = r"regexp_extract_all(text, '([^ \\t\\n\\r\\f]+)', 1)"
+TOKENIZE_DUCK = r"regexp_extract_all(text, '[^ \t\n\r\f]+')"
+
+
 def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency quality signal: per doc, the count of
     whitespace tokens and the SUM of each token's corpus term
@@ -2926,7 +2937,7 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical in both engines regardless of fixture content
     tok = corpus.select(
         "doc_id",
-        F.explode(F.expr(r"regexp_extract_all(text, '([^ \\t\\n\\r\\f]+)', 1)")).alias("tok"),
+        F.explode(F.expr(TOKENIZE_SPARK)).alias("tok"),
     ).localCheckpoint(eager=True)
     tf = tok.groupBy("tok").agg(F.count("*").cast("long").alias("tf"))
     return (
@@ -2941,7 +2952,7 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_RARITY = f"""WITH corpus AS ({CORPUS_SQL}),
 tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS tok FROM corpus
+  SELECT doc_id, unnest({TOKENIZE_DUCK}) AS tok FROM corpus
 ),
 tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(tf) AS BIGINT) AS tf_sum
@@ -3100,6 +3111,27 @@ GROUP BY p.page_id
 HITS_EDGE_KEEP = "(src * 53 + dst) % 7 < 3"
 
 
+def _multi_edges_nodes_cte(keep: str) -> str:
+    """Shared edges+nodes CTE text: the SQL replay of
+    operators.graph.host_link_edges_multi plus a keep-predicate sample.
+    Both graph-round oracles (_hits_oracle_sql, _bfs_oracle_sql)
+    interpolate THIS string, so a change to the edge derivation has one
+    SQL copy to keep in lockstep with the Spark operator."""
+    from smart_geocubes_spark.operators.graph import N_HOSTS
+
+    return f"""edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT host_id AS src, h2 % {N_HOSTS} AS dst FROM pages
+    UNION ALL
+    SELECT host_id AS src, h3 % {N_HOSTS} AS dst FROM pages
+  ) e WHERE src <> dst AND {keep}
+), nodes AS (
+  SELECT DISTINCT src AS host_id FROM edges
+  UNION
+  SELECT DISTINCT dst AS host_id FROM edges
+)"""
+
+
 def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two UNNORMALIZED HITS rounds (Kleinberg hubs/authorities) over
     the sampled host link graph in pure BIGINT — the companion ranking
@@ -3120,20 +3152,9 @@ def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hits_oracle_sql(n_iter: int = 2) -> str:
     """Unrolled-CTE replay of hits_fixed_point (all-integer, so the
     only contract is the same join/sum structure)."""
-    from smart_geocubes_spark.operators.graph import N_HOSTS
-
     ctes = [
-        f"""edges AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT host_id AS src, h2 % {N_HOSTS} AS dst FROM pages
-    UNION ALL
-    SELECT host_id AS src, h3 % {N_HOSTS} AS dst FROM pages
-  ) e WHERE src <> dst AND {HITS_EDGE_KEEP}
-), nodes AS (
-  SELECT DISTINCT src AS host_id FROM edges
-  UNION
-  SELECT DISTINCT dst AS host_id FROM edges
-), h0 AS (SELECT host_id, CAST(1 AS BIGINT) AS hub FROM nodes)"""
+        _multi_edges_nodes_cte(HITS_EDGE_KEEP)
+        + ", h0 AS (SELECT host_id, CAST(1 AS BIGINT) AS hub FROM nodes)"
     ]
     prev_h = "h0"
     for k in range(1, n_iter + 1):
@@ -3238,7 +3259,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_base_views(spark, sf_dir)
     corpus = corpus_df(spark)
     tok = corpus.select(
-        F.explode(F.expr(r"regexp_extract_all(text, '([^ \\t\\n\\r\\f]+)', 1)")).alias("tok")
+        F.explode(F.expr(TOKENIZE_SPARK)).alias("tok")
     ).localCheckpoint(eager=True)
     counters = cms_counters(tok, "tok")
     tf = tok.groupBy("tok").agg(F.count("*").cast("long").alias("tf"))
@@ -3266,7 +3287,7 @@ def _cms_oracle_sql() -> str:
     )
     return f"""WITH corpus AS ({CORPUS_SQL}),
 tok AS (
-  SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS tok FROM corpus
+  SELECT unnest({TOKENIZE_DUCK}) AS tok FROM corpus
 ),
 counters AS (
   SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -3275,9 +3296,11 @@ counters AS (
 ),
 tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok),
 est AS (
-  SELECT p.tok, CAST(min(c.cnt) AS BIGINT) AS cms_est FROM (
+  -- LEFT + coalesce(0) mirrors cms_estimate's empty-cell contract
+  -- (no-op for these in-stream probes, kept in lockstep regardless)
+  SELECT p.tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est FROM (
 {probe_branches}
-  ) p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+  ) p LEFT JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
   GROUP BY p.tok
 ),
 total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
@@ -3307,7 +3330,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_df(spark)
     pairs = corpus.select(
         "doc_id",
-        F.explode(F.expr(r"regexp_extract_all(text, '([^ \\t\\n\\r\\f]+)', 1)")).alias("tok"),
+        F.explode(F.expr(TOKENIZE_SPARK)).alias("tok"),
     ).distinct()
     return (
         pairs.select(
@@ -3325,7 +3348,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_INVERTED_INDEX = f"""WITH corpus AS ({CORPUS_SQL}),
 tokp AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS tok FROM corpus
+  SELECT doc_id, unnest({TOKENIZE_DUCK}) AS tok FROM corpus
 ),
 pairs AS (SELECT DISTINCT doc_id, tok FROM tokp)
 SELECT tok, CAST(doc_id // {SEG_DOCS} AS BIGINT) AS segment,
@@ -3413,30 +3436,26 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_base_views(spark, sf_dir)
     pages = spark.sql(pages_sql("orders"))
-    edges = host_link_edges_multi(pages).filter(F.expr(BFS_EDGE_KEEP))
+    # ONE evaluation of the edge derivation (pages scan + union +
+    # distinct shuffle): it feeds both the seed derivation and the BFS
+    # rounds, so checkpoint here and tell bfs_hops not to re-checkpoint
+    edges = (
+        host_link_edges_multi(pages)
+        .filter(F.expr(BFS_EDGE_KEEP))
+        .localCheckpoint(eager=True)
+    )
     nodes = edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
     seeds = nodes.filter(F.col("src") % BFS_SEED_MOD == 0).select(
         F.col("src").alias("host_id")
     )
-    return bfs_hops(edges, seeds, n_rounds=3)
+    return bfs_hops(edges, seeds, n_rounds=3, edges_checkpointed=True)
 
 
 def _bfs_oracle_sql(n_rounds: int = 3) -> str:
     """Unrolled-CTE replay of bfs_hops (all-integer min-propagation)."""
-    from smart_geocubes_spark.operators.graph import N_HOSTS
-
     ctes = [
-        f"""edges AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT host_id AS src, h2 % {N_HOSTS} AS dst FROM pages
-    UNION ALL
-    SELECT host_id AS src, h3 % {N_HOSTS} AS dst FROM pages
-  ) e WHERE src <> dst AND {BFS_EDGE_KEEP}
-), nodes AS (
-  SELECT DISTINCT src AS host_id FROM edges
-  UNION
-  SELECT DISTINCT dst AS host_id FROM edges
-), d0 AS (
+        _multi_edges_nodes_cte(BFS_EDGE_KEEP)
+        + f""", d0 AS (
   SELECT host_id, CAST(0 AS BIGINT) AS dist FROM nodes
   WHERE host_id % {BFS_SEED_MOD} = 0
 )"""

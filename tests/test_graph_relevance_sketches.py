@@ -375,6 +375,20 @@ class TestCountMinSketch:
         assert w == m
 
 
+    def test_absent_key_estimates_zero_or_collision(self, spark):
+        """A candidate NOT in the sketched stream must probe empty
+        cells as 0 (left join + coalesce): min is 0 unless the key
+        collides with stream keys in ALL d rows."""
+        from smart_geocubes_spark.operators.sketches import cms_counters, cms_estimate
+
+        counters = cms_counters(self._keys(spark, ["a"] * 100), "tok")
+        est = cms_estimate(self._keys(spark, ["zzz-not-in-stream"]), "tok", counters)
+        rows = est.collect()
+        assert len(rows) == 1  # the key must NOT vanish from the output
+        # 1 stream key in 3x16 buckets: some row is collision-free
+        assert rows[0].cms_est == 0
+
+
 class TestBfsHops:
     def test_hand_computed_chain(self, spark):
         # 0->1->2->3->4 chain plus shortcut 0->3; seed = {0}
