@@ -3480,6 +3480,157 @@ SELECT host_id, dist FROM {prev}
 """
 
 
+# histogram-sketch bin width in cents; the estimate's worst-case error
+BIN_CENTS = 256
+
+
+def q_approx_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch: fixed-width histogram bins (integer
+    cents div BIN_CENTS) per event_type, quantile read out as the lower
+    edge of the bin where the cumulative count reaches the same rank
+    index exact_quantiles selects — so |estimate - exact| < BIN_CENTS
+    by construction (pinned by pytest against the exact baseline).
+
+    This is the 100-TB quantile path exact_quantiles is the baseline
+    for: bin counts are integers that ADD across shards (merge law
+    pytest), the build is ONE combining aggregate (no per-key sort),
+    and the readout window runs over ~value_range/BIN_CENTS bins per
+    key — constant-sized state, same role as percentile_approx/KLL but
+    deterministic and exactly oracle-able."""
+    from pyspark.sql import Window
+
+    ensure_base_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    b = ev.groupBy(
+        "event_type", F.expr(f"cents div {BIN_CENTS}").alias("bin")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wc = Window.partitionBy("event_type")
+    cum = b.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wc).alias("n"),
+    )
+
+    def est(q: int):
+        hit = F.when(
+            F.col("cum") >= F.expr(f"((n - 1) * {q}) div 100 + 1"), F.col("bin")
+        )
+        return (F.min(hit) * BIN_CENTS).cast("long")
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        est(50).alias("p50_est_cents"),
+        est(90).alias("p90_est_cents"),
+        est(99).alias("p99_est_cents"),
+    )
+
+
+SQL_APPROX_QUANTILES_HIST = f"""WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+b AS (
+  SELECT event_type, cents // {BIN_CENTS} AS bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM e GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= ((n - 1) * 50) // 100 + 1 THEN bin END) * {BIN_CENTS} AS BIGINT) AS p50_est_cents,
+       CAST(min(CASE WHEN cum >= ((n - 1) * 90) // 100 + 1 THEN bin END) * {BIN_CENTS} AS BIGINT) AS p90_est_cents,
+       CAST(min(CASE WHEN cum >= ((n - 1) * 99) // 100 + 1 THEN bin END) * {BIN_CENTS} AS BIGINT) AS p99_est_cents
+FROM c GROUP BY event_type
+"""
+
+
+# collocation threshold: keep bigrams with likelihood ratio
+# n_bigrams * c_ab / (c_a * c_b) >= PMI_K, compared CROSS-MULTIPLIED so
+# the whole test stays in integers (PMI >= ln K).  ANSI int64 overflow
+# is the loud guard: at corpus sizes where n_bg * c_ab or K * c_a * c_b
+# could exceed 2^63 (~1e9+ token corpora with ~1e9-count stop words),
+# reduce counts (e.g. per-shard PMI on sampled counts) first.
+PMI_K = 2
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: ADJACENT-bigram PMI over the corpus —
+    pairs (a, b) whose observed co-occurrence beats PMI_K times the
+    unigram-independence expectation, all in integer cross-multiplied
+    arithmetic (no log, no float drift).
+
+    Scale shape: bigrams come from per-doc adjacent positions (ONE
+    tokenize pass, checkpointed, feeds both unigram and bigram counts)
+    — never a within-doc token cross join; the unigram table is
+    vocabulary-sized and joins broadcast; n_bigrams is a 1-row cross
+    join. Two combining aggregates total."""
+    ensure_base_views(spark, sf_dir)
+    corpus = corpus_df(spark)
+    ta = corpus.select(
+        "doc_id", F.expr(TOKENIZE_SPARK).alias("toks")
+    ).localCheckpoint(eager=True)
+    uni = (
+        ta.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # joined twice below (c_a, c_b)
+    )
+    bg = (
+        ta.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .localCheckpoint(eager=True)  # feeds pair counts AND the total
+    )
+    cnt = bg.groupBy("tok_a", "tok_b").agg(F.count("*").cast("long").alias("c_ab"))
+    total = bg.agg(F.count("*").cast("long").alias("n_bg"))
+    ca = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        cnt.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_bg") * F.col("c_ab") >= PMI_K * F.col("c_a") * F.col("c_b"))
+        .select("tok_a", "tok_b", "c_ab", "c_a", "c_b")
+    )
+
+
+SQL_PMI_COLLOCATIONS = f"""WITH corpus AS ({CORPUS_SQL}),
+w AS (SELECT doc_id, {TOKENIZE_DUCK} AS toks FROM corpus),
+uni AS (SELECT unnest(toks) AS tok FROM w),
+ucnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+bg AS (
+  SELECT toks[CAST(i AS INT)] AS tok_a, toks[CAST(i AS INT) + 1] AS tok_b
+  FROM w, generate_series(1, 600) t(i)
+  WHERE i <= len(toks) - 1
+),
+bcnt AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM bg)
+SELECT b.tok_a, b.tok_b, b.c_ab, ca.c AS c_a, cb.c AS c_b
+FROM bcnt b
+JOIN ucnt ca ON ca.tok = b.tok_a
+JOIN ucnt cb ON cb.tok = b.tok_b, tot
+WHERE tot.n_bg * b.c_ab >= {PMI_K} * ca.c * cb.c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -3568,6 +3719,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "exact_quantiles": q_exact_quantiles,
     "bfs_hops": q_bfs_hops,
+    "approx_quantiles_hist": q_approx_quantiles_hist,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 # The driver's CORRECTNESS snapshot caps at 50 entries, taken in registry
@@ -3583,6 +3736,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "inverted_index",
     "exact_quantiles",
     "bfs_hops",
+    "approx_quantiles_hist",
+    "pmi_collocations",
     "token_rarity",
     "patch_overlap_area",
     "url_rules_filter",
@@ -3611,6 +3766,8 @@ ORACLES: dict[str, str] = {
     "inverted_index": SQL_INVERTED_INDEX,
     "exact_quantiles": SQL_EXACT_QUANTILES,
     "bfs_hops": _bfs_oracle_sql(3),
+    "approx_quantiles_hist": SQL_APPROX_QUANTILES_HIST,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "token_rarity": SQL_TOKEN_RARITY,
     "patch_overlap_area": SQL_PATCH_OVERLAP_AREA,
     "url_rules_filter": SQL_URL_RULES_FILTER,

@@ -407,3 +407,79 @@ class TestBfsHops:
         seeds = spark.createDataFrame([(0,)], "host_id long")
         got = {r.host_id: r.dist for r in bfs_hops(edges, seeds, n_rounds=3).collect()}
         assert got == {0: 0, 1: 1}
+
+
+class TestHistogramQuantiles:
+    def test_error_bounded_by_bin_width(self, spark):
+        """The histogram estimate is the lower edge of the bin holding
+        the exact rank-selected value: 0 <= exact - est < BIN_CENTS."""
+        from smart_geocubes_spark.queries import (
+            BIN_CENTS,
+            q_approx_quantiles_hist,
+            q_exact_quantiles,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = {r.event_type: r for r in q_exact_quantiles(spark, sf).collect()}
+        est = {r.event_type: r for r in q_approx_quantiles_hist(spark, sf).collect()}
+        assert set(exact) == set(est)
+        for t in exact:
+            for q in (50, 90, 99):
+                e = exact[t][f"p{q}_cents"]
+                a = est[t][f"p{q}_est_cents"]
+                assert 0 <= e - a < BIN_CENTS, (t, q, e, a)
+
+    def test_bin_counts_merge_by_addition(self, spark):
+        """Shard histograms add cell-wise to the whole-corpus histogram
+        — the mergeable-summary law that makes this the scale path."""
+        from smart_geocubes_spark.queries import BIN_CENTS
+
+        ev = spark.createDataFrame(
+            [(i, i * 37 % 5000) for i in range(400)], "i long, cents long"
+        )
+        def hist(df):
+            return {
+                r.bin: r.cnt
+                for r in df.groupBy(F.expr(f"cents div {BIN_CENTS}").alias("bin"))
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+
+        whole = hist(ev)
+        h1 = hist(ev.filter("i % 2 = 0"))
+        h2 = hist(ev.filter("i % 2 = 1"))
+        merged = {b: h1.get(b, 0) + h2.get(b, 0) for b in set(h1) | set(h2)}
+        assert merged == whole
+
+
+class TestPmiCollocations:
+    def test_known_collocation_found(self, spark):
+        """A bigram that always co-occurs and rare unigrams -> maximal
+        PMI; a pair of independent frequent tokens must NOT pass."""
+        from smart_geocubes_spark.queries import PMI_K
+
+        docs = spark.createDataFrame(
+            [(1, "new york " + "the cat " * 20), (2, "new york " + "the dog " * 20)],
+            "doc_id long, text string",
+        )
+        from smart_geocubes_spark.queries import TOKENIZE_SPARK
+
+        ta = docs.select("doc_id", F.expr(TOKENIZE_SPARK).alias("toks"))
+        bg = (
+            ta.filter(F.size("toks") >= 2)
+            .select(F.explode(F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS a, toks[i] AS b))")).alias("p"))
+            .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        )
+        uni = ta.select(F.explode("toks").alias("tok")).groupBy("tok").count()
+        n_bg = bg.count()
+        cnt = {(r.tok_a, r.tok_b): r["count"] for r in bg.groupBy("tok_a", "tok_b").count().collect()}
+        c = {r.tok: r["count"] for r in uni.collect()}
+        def passes(a, b):
+            return n_bg * cnt.get((a, b), 0) >= PMI_K * c[a] * c[b]
+        assert passes("new", "york")  # always adjacent, rare unigrams
+        # 'cat the' IS adjacent 19x, but below the independence
+        # expectation of the frequent unigrams: 82*19 < 2*20*40
+        assert not passes("cat", "the")
+        assert not passes("cat", "cat")  # never adjacent at all

@@ -491,3 +491,27 @@ def test_exact_quantiles_one_sort_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
     assert "Window" in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_hist_quantiles_no_per_key_sort_of_rows(spark):
+    """The sketch's whole point: the DATA pass is one combining
+    aggregate; only the bin table (constant-sized per key) is window-
+    sorted. No Python, and exactly one row-data exchange."""
+    from smart_geocubes_spark.queries import q_approx_quantiles_hist
+
+    plan = plan_of(q_approx_quantiles_hist(spark, SF))
+    assert "ArrowEvalPython" not in plan
+    assert "Window" in plan  # over bins, not rows
+    assert plan.count("Exchange hashpartitioning") <= 2  # bin agg + window
+
+
+def test_pmi_unigram_joins_are_broadcast(spark):
+    """Pair counts join the vocabulary-sized unigram table twice —
+    both must be broadcast hash joins; the only nested loop is the
+    1-row n_bg cross join."""
+    from smart_geocubes_spark.queries import q_pmi_collocations
+
+    plan = plan_of(q_pmi_collocations(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "ArrowEvalPython" not in plan
