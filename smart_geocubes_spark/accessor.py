@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
 from smart_geocubes_spark.plans.materialize import (
     CubeSpec,
+    add_channel as cube_add_channel,
     create_cube,
     event_durations,
     load as load_blocks,
@@ -83,6 +84,13 @@ class GeocubeAccessor:
     def assert_created(self) -> None:
         if not self.created:
             raise FileNotFoundError(f"cube not created: {self.path}")
+
+    def add_channel(self, name: str) -> None:
+        """Schema evolution: append a channel (lazy backfill — see
+        plans.materialize.add_channel). Refreshes the cached spec so
+        subsequent fills/loads through this accessor see it."""
+        self.assert_created()
+        self.spec = cube_add_channel(self.path, name)
 
     def _normalize_toi(self, toi_epochs, toi_method: str) -> list[int] | None:
         """Snap an arbitrary TOI (scalar / list / slice / ISO string /

@@ -165,6 +165,42 @@ def open_spec(path: str) -> CubeSpec:
         return CubeSpec.from_json(json.load(f))
 
 
+def add_channel(path: str, name: str) -> CubeSpec:
+    """SCHEMA EVOLUTION: append a channel to an existing cube — the
+    ALTER TABLE ADD COLUMN analog (beyond the reference, whose channel
+    set is fixed at create: dataset class vars,
+    ``/root/reference/src/smart_geocubes/datasets/arcticdem.py:139``).
+
+    Backfill is LAZY and falls out of the store's own planning: the new
+    channel's chunks simply have no lineage rows yet, so the next
+    ``fill()``'s anti-join plans exactly the missing (tile × time × new
+    channel) cells for whatever ROI is filled — no eager rewrite of any
+    existing block, which is the only behavior that survives a 100-TB
+    cube. Readers are unaffected: ``load()`` returns committed blocks
+    only, so pre-backfill reads see the old channels unchanged, and
+    as-of time travel is decided by COMMIT ORDER, not the meta file —
+    an as-of view from before the first new-channel fill contains no
+    new-channel blocks regardless of the current schema.
+
+    The meta update is a same-directory atomic rename: a concurrent
+    reader sees the old or the new channel list, never a torn file.
+    (Concurrent add_channel calls are last-writer-wins on the META —
+    acceptable for a DDL path; data commits stay ticket-serialized.)"""
+    spec = open_spec(path)
+    if name in spec.channels:
+        raise ValueError(f"channel {name!r} already exists in {path}")
+    new = CubeSpec(
+        grid=spec.grid,
+        channels=spec.channels + (name,),
+        time_epochs=spec.time_epochs,
+    )
+    tmp = os.path.join(path, f"_meta.json.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(new.to_json(), f)
+    os.replace(tmp, os.path.join(path, "_meta.json"))
+    return new
+
+
 def _lineage_batches(path: str) -> list[str]:
     """Committed batch dirs: _SUCCESS present AND (when the cube has a
     ticket dir) a commit ticket taken. The seq snapshot is read FIRST,

@@ -519,3 +519,76 @@ def test_patch_merge_over_full_fill(spark, cube):
     col = p % 100
     expect = 6 * 1000.0 + 5 + 0.5 * p + np.where(col < 50, 500.0, 0.0)
     assert np.array_equal(blk, expect)
+
+
+class TestAddChannel:
+    """Schema evolution: ALTER-ADD-COLUMN analog with lazy backfill."""
+
+    def test_lazy_backfill_and_time_travel(self, spark, cube):
+        from smart_geocubes_spark.plans.materialize import add_channel
+
+        m1 = materialize(spark, cube, ROI_A)
+        assert m1["written"] == 18  # 9 tiles x (dem, slope)
+
+        spec2 = add_channel(cube, "aspect")
+        assert spec2.channels == ("dem", "slope", "aspect")
+        assert open_spec(cube).channels == ("dem", "slope", "aspect")
+
+        # the SAME ROI refills exactly the new channel's chunks
+        m2 = materialize(spark, cube, ROI_A)
+        assert m2["written"] == 9
+
+        df = load(spark, cube, ROI_A)
+        by_ch = {r["channel"]: r["n"] for r in
+                 df.groupBy("channel").agg(F.count("*").alias("n")).collect()}
+        assert by_ch == {"dem": 9, "slope": 9, "aspect": 9}
+
+        # time travel to before the evolution: no new-channel blocks
+        old = load(spark, cube, ROI_A, as_of_batch=m1["batch_id"])
+        assert old.filter(F.col("channel") == "aspect").count() == 0
+        assert old.count() == 18
+
+        # a fresh ROI after evolution fills all three channels at once
+        m3 = materialize(spark, cube, (8.3, 12.2, 8.9, 12.9))  # 1 tile
+        assert m3["written"] == 3
+
+    def test_duplicate_channel_raises(self, cube):
+        from smart_geocubes_spark.plans.materialize import add_channel
+
+        with pytest.raises(ValueError, match="already exists"):
+            add_channel(cube, "dem")
+
+    def test_accessor_refreshes_spec(self, spark, tmp_path):
+        from smart_geocubes_spark.accessor import GeocubeAccessor
+        from smart_geocubes_spark.plans.materialize import CubeSpec
+
+        acc = GeocubeAccessor(
+            spark=spark,
+            path=str(tmp_path / "acc_cube"),
+            spec=CubeSpec(grid=SMALL_GRID, channels=("dem",), time_epochs=None),
+        )
+        acc.create()
+        acc.fill(ROI_A)
+        acc.add_channel("slope")
+        assert acc.spec.channels == ("dem", "slope")
+        assert acc.fill(ROI_A)["written"] == 9  # lazy backfill via accessor
+
+    def test_compact_preserves_evolved_state(self, spark, cube):
+        from smart_geocubes_spark.plans.materialize import add_channel, compact
+
+        materialize(spark, cube, ROI_A)
+        add_channel(cube, "aspect")
+        materialize(spark, cube, ROI_A)  # backfill the new channel
+
+        def state(df):
+            return {
+                (r.tile_id, r.channel): r.s
+                for r in df.groupBy("tile_id", "channel")
+                .agg(F.sum(F.expr("aggregate(block, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")).alias("s"))
+                .collect()
+            }
+
+        before = state(load(spark, cube, ROI_A))
+        compact(spark, cube)
+        after = state(load(spark, cube, ROI_A))
+        assert before == after and len(before) == 27
