@@ -151,6 +151,7 @@ class GeocubeAccessor:
         persist: bool = False,
         create: bool = False,
         toi_method: str = "nearest",
+        channels: list[str] | None = None,
     ) -> DataFrame | pd.DataFrame:
         """The flagship four-step query (docs/how_it_works.md:48-53):
         intersect -> download new -> store -> return ROI slice.
@@ -174,8 +175,11 @@ class GeocubeAccessor:
         # raises here (and again in the shared plans layer for direct
         # materialize/load_blocks callers)
         toi = self._normalize_toi(toi_epochs, toi_method)
+        # the FILL still covers every channel (cache completeness —
+        # reference downloads whole patches regardless of band slice);
+        # only the returned scan projects (band slicing, P4)
         materialize(self.spark, self.path, roi, toi)
-        df = load_blocks(self.spark, self.path, roi, toi)
+        df = load_blocks(self.spark, self.path, roi, toi, channels=channels)
         return df.toPandas() if persist else df
 
     def load_like(

@@ -812,11 +812,18 @@ def load(
     roi_bbox: tuple[float, float, float, float] | list[tuple[float, float, float, float]],
     toi_epochs: list[int] | None = None,
     as_of_batch: str | None = None,
+    channels: list[str] | None = None,
 ) -> DataFrame:
     """ROI read: materialize() first for the reference's full load()
     semantics; this is the scan+crop step (snapshot = committed lineage
     only). Partition pruning: blocks are filtered on tile_id membership
     (small set -> pushed to parquet row groups).
+
+    ``channels``: band projection (P4, reference ``load(..., bands)``
+    slicing) — the IN filter is pushed to BOTH parquet scans (blocks
+    and lineage), so a 1-of-64-channel read scans and winner-ranks
+    1/64th of the ROI's rows, not all of them. Unknown names raise
+    (silently returning nothing would read as "not filled yet").
 
     ``roi_bbox`` may be a LIST of bboxes (the reference's GeoDataFrame
     batch branch, ``core/accessor.py:400-426``): ONE pruned scan over
@@ -835,6 +842,12 @@ def load(
     spec = open_spec(path)
     if toi_epochs is not None and spec.time_epochs is None:
         raise ValueError("TOI given for an atemporal cube")
+    if channels is not None:
+        unknown = [c for c in channels if c not in spec.channels]
+        if unknown:
+            raise ValueError(
+                f"unknown channels {unknown}; cube has {list(spec.channels)}"
+            )
     allowed: set[str] | None = None
     if as_of_batch is not None:
         ids = [s["batch_id"] for s in snapshots(path)]
@@ -889,6 +902,8 @@ def load(
     df = spark.read.schema(BLOCK_SCHEMA).parquet(*batches).filter(
         F.col("tile_id").isin(tile_ids)
     )
+    if channels is not None:
+        df = df.filter(F.col("channel").isin(list(channels)))
     if toi_epochs is not None and spec.time_epochs is not None:
         idxs = [list(spec.time_epochs).index(t) for t in toi_epochs]
         df = df.filter(F.col("time_idx").isin(idxs))
@@ -910,6 +925,8 @@ def load(
     # ROI-pruned set is bounded by the query size, so the broadcast is
     # safe. The tile_id IN filter is pushed to the lineage parquet scan.
     lineage = read_lineage(spark, path).filter(F.col("tile_id").isin(tile_ids))
+    if channels is not None:
+        lineage = lineage.filter(F.col("channel").isin(list(channels)))
     if allowed is not None:
         lineage = lineage.filter(F.col("batch_id").isin(sorted(allowed)))
     lineage = lineage.select("chunk_key", "batch_id").distinct()

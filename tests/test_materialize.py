@@ -592,3 +592,21 @@ class TestAddChannel:
         compact(spark, cube)
         after = state(load(spark, cube, ROI_A))
         assert before == after and len(before) == 27
+
+
+class TestChannelProjection:
+    def test_load_channels_filters_and_raises(self, spark, cube):
+        materialize(spark, cube, ROI_A)
+        df = load(spark, cube, ROI_A, channels=["slope"])
+        assert df.count() == 9
+        assert {r.channel for r in df.select("channel").distinct().collect()} == {"slope"}
+        with pytest.raises(ValueError, match="unknown channels"):
+            load(spark, cube, ROI_A, channels=["nope"])
+
+    def test_channel_filter_pushed_to_both_scans(self, spark, cube):
+        materialize(spark, cube, ROI_A)
+        plan = load(spark, cube, ROI_A, channels=["dem"])._jdf.queryExecution(
+        ).executedPlan().toString()
+        pushed = [seg[:300] for seg in plan.split("PushedFilters: ")[1:]]
+        with_ch = [s for s in pushed if "channel" in s.split("]", 1)[0]]
+        assert len(with_ch) >= 2, f"channel not pushed to both scans: {pushed}"
