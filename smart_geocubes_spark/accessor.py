@@ -175,6 +175,15 @@ class GeocubeAccessor:
         # raises here (and again in the shared plans layer for direct
         # materialize/load_blocks callers)
         toi = self._normalize_toi(toi_epochs, toi_method)
+        # validate the band list BEFORE the fill: a typo'd channel name
+        # must cost nothing, not an hours-long materialize (load_blocks
+        # re-checks against the on-disk meta for direct callers)
+        if channels is not None:
+            unknown = [c for c in channels if c not in self.spec.channels]
+            if unknown:
+                raise ValueError(
+                    f"unknown channels {unknown}; cube has {list(self.spec.channels)}"
+                )
         # the FILL still covers every channel (cache completeness —
         # reference downloads whole patches regardless of band slice);
         # only the returned scan projects (band slicing, P4)

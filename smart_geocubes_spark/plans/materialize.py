@@ -843,6 +843,11 @@ def load(
     if toi_epochs is not None and spec.time_epochs is None:
         raise ValueError("TOI given for an atemporal cube")
     if channels is not None:
+        if not channels:
+            # an explicitly EMPTY projection is a caller bug — silently
+            # returning 0 rows would read as "not filled yet", the very
+            # trap the unknown-name check below exists to prevent
+            raise ValueError("channels=[] — pass None to read every channel")
         unknown = [c for c in channels if c not in spec.channels]
         if unknown:
             raise ValueError(

@@ -3359,6 +3359,18 @@ GROUP BY tok, doc_id // {SEG_DOCS}
 """
 
 
+# THE rank-index formula (type-1/lower quantile), one fragment per
+# engine — exact_quantiles AND approx_quantiles_hist select the SAME
+# index, which is precisely what makes the sketch's pinned error bound
+# hold; edit both fragments together or the coupling silently breaks.
+def rank_idx_spark(q: int) -> str:
+    return f"((n - 1) * {q}) div 100 + 1"
+
+
+def rank_idx_duck(q: int) -> str:
+    return f"((n - 1) * {q}) // 100 + 1"
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-1 (lower) percentiles of event value-cents per
     event_type by RANK SELECTION: idx_q = (n-1)*q div 100 + 1 in pure
@@ -3391,7 +3403,7 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pick(q: int):
         return F.max(
-            F.when(F.col("rn") == F.expr(f"((n - 1) * {q}) div 100 + 1"), F.col("cents"))
+            F.when(F.col("rn") == F.expr(rank_idx_spark(q)), F.col("cents"))
         ).cast("long")
 
     return r.groupBy("event_type").agg(
@@ -3402,7 +3414,7 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EXACT_QUANTILES = """WITH e AS (
+SQL_EXACT_QUANTILES = f"""WITH e AS (
   SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
 ),
 r AS (
@@ -3412,9 +3424,9 @@ r AS (
   FROM e
 )
 SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-       CAST(max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN cents END) AS BIGINT) AS p50_cents,
-       CAST(max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN cents END) AS BIGINT) AS p90_cents,
-       CAST(max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN cents END) AS BIGINT) AS p99_cents
+       CAST(max(CASE WHEN rn = {rank_idx_duck(50)} THEN cents END) AS BIGINT) AS p50_cents,
+       CAST(max(CASE WHEN rn = {rank_idx_duck(90)} THEN cents END) AS BIGINT) AS p90_cents,
+       CAST(max(CASE WHEN rn = {rank_idx_duck(99)} THEN cents END) AS BIGINT) AS p99_cents
 FROM r GROUP BY event_type
 """
 
@@ -3480,8 +3492,14 @@ SELECT host_id, dist FROM {prev}
 """
 
 
-# histogram-sketch bin width in cents; the estimate's worst-case error
+# histogram-sketch bin width in cents; the estimate's worst-case error.
+# MUST stay a power of two: the shared bin fragment divides as DOUBLE
+# (exact for |cents| < 2^53 only because the divisor is 2^k) and floors,
+# so bins are true FLOOR bins — bin * BIN_CENTS is the lower edge for
+# NEGATIVE cents too (a truncating `div`/`//` would make bin 0 span
+# (-BIN, BIN) and break the error-bound invariant below zero).
 BIN_CENTS = 256
+BIN_EXPR = f"CAST(floor(CAST(cents AS DOUBLE) / {float(BIN_CENTS)!r}) AS BIGINT)"
 
 
 def q_approx_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3504,7 +3522,7 @@ def q_approx_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
     b = ev.groupBy(
-        "event_type", F.expr(f"cents div {BIN_CENTS}").alias("bin")
+        "event_type", F.expr(BIN_EXPR).alias("bin")
     ).agg(F.count("*").cast("long").alias("cnt"))
     w = (
         Window.partitionBy("event_type")
@@ -3521,7 +3539,7 @@ def q_approx_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def est(q: int):
         hit = F.when(
-            F.col("cum") >= F.expr(f"((n - 1) * {q}) div 100 + 1"), F.col("bin")
+            F.col("cum") >= F.expr(rank_idx_spark(q)), F.col("bin")
         )
         return (F.min(hit) * BIN_CENTS).cast("long")
 
@@ -3537,7 +3555,7 @@ SQL_APPROX_QUANTILES_HIST = f"""WITH e AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
 ),
 b AS (
-  SELECT event_type, cents // {BIN_CENTS} AS bin, CAST(count(*) AS BIGINT) AS cnt
+  SELECT event_type, {BIN_EXPR} AS bin, CAST(count(*) AS BIGINT) AS cnt
   FROM e GROUP BY 1, 2
 ),
 c AS (
@@ -3548,9 +3566,9 @@ c AS (
   FROM b
 )
 SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-       CAST(min(CASE WHEN cum >= ((n - 1) * 50) // 100 + 1 THEN bin END) * {BIN_CENTS} AS BIGINT) AS p50_est_cents,
-       CAST(min(CASE WHEN cum >= ((n - 1) * 90) // 100 + 1 THEN bin END) * {BIN_CENTS} AS BIGINT) AS p90_est_cents,
-       CAST(min(CASE WHEN cum >= ((n - 1) * 99) // 100 + 1 THEN bin END) * {BIN_CENTS} AS BIGINT) AS p99_est_cents
+       CAST(min(CASE WHEN cum >= {rank_idx_duck(50)} THEN bin END) * {BIN_CENTS} AS BIGINT) AS p50_est_cents,
+       CAST(min(CASE WHEN cum >= {rank_idx_duck(90)} THEN bin END) * {BIN_CENTS} AS BIGINT) AS p90_est_cents,
+       CAST(min(CASE WHEN cum >= {rank_idx_duck(99)} THEN bin END) * {BIN_CENTS} AS BIGINT) AS p99_est_cents
 FROM c GROUP BY event_type
 """
 

@@ -451,6 +451,33 @@ class TestHistogramQuantiles:
         merged = {b: h1.get(b, 0) + h2.get(b, 0) for b in set(h1) | set(h2)}
         assert merged == whole
 
+    def test_bin_expr_floors_negatives_in_both_engines(self, spark):
+        """bin * BIN_CENTS must be the LOWER edge for negative cents
+        too: the shared fragment floors (a truncating div would give
+        bin 0 a double-width span and break the error bound)."""
+        import math
+
+        import duckdb
+
+        from smart_geocubes_spark.queries import BIN_CENTS, BIN_EXPR
+
+        vals = [-513, -256, -255, -1, 0, 1, 255, 256, 511]
+        got = {
+            r.cents: r.bin
+            for r in spark.createDataFrame([(v,) for v in vals], "cents long")
+            .selectExpr("cents", f"{BIN_EXPR} AS bin")
+            .collect()
+        }
+        duck = {
+            v: duckdb.sql(
+                f"SELECT {BIN_EXPR} AS b FROM (SELECT CAST({v} AS BIGINT) AS cents)"
+            ).fetchone()[0]
+            for v in vals
+        }
+        want = {v: math.floor(v / BIN_CENTS) for v in vals}
+        assert got == want
+        assert duck == want
+
 
 class TestPmiCollocations:
     def test_known_collocation_found(self, spark):
