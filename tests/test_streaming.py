@@ -211,3 +211,28 @@ class TestStreamFillRequests:
         assert res[1]["skipped"] == "all cached"
         assert res[1]["batch_id"] is None  # nothing committed under it
         assert read_lineage(spark, cube).count() == 9
+
+    def test_mid_fill_crash_then_stream_completes(self, spark, tmp_path):
+        """A fill that died between block write and commit ticket left
+        orphan blocks; the stream then fills the same ROI fresh and the
+        orphans stay invisible — the batch crash contract composed with
+        streaming ingestion."""
+        import pytest as _pytest
+
+        from smart_geocubes_spark.plans.materialize import load, materialize, read_lineage
+        from smart_geocubes_spark.streaming.ingest import stream_fill_requests
+
+        cube = self._mk_cube(tmp_path)
+        roi = (2.3, 15.2, 4.8, 17.9)
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            materialize(spark, cube, roi, fail_after_blocks=True)
+        assert load(spark, cube, roi).count() == 0  # orphans invisible
+
+        reqs = str(tmp_path / "reqs")
+        self._req(spark, reqs, [roi])
+        res = stream_fill_requests(spark, reqs, cube, str(tmp_path / "ckpt"))
+        assert [r["written"] for r in res] == [9]
+        df = load(spark, cube, roi)
+        assert df.count() == 9
+        assert df.select("chunk_key").distinct().count() == 9  # no dupes
+        assert read_lineage(spark, cube).count() == 9
