@@ -3649,6 +3649,74 @@ WHERE tot.n_bg * b.c_ab >= {PMI_K} * ca.c * cb.c
 """
 
 
+# focal fixture: the first two zonal ROI rectangles (3x3 and 4x2 tile
+# regions) x both channels; integer channel offsets (the exact-BIGINT
+# contract of operators.focal)
+FOCAL_ROIS = ZONAL_ROIS[:2]
+FOCAL_OFFSETS = {"dem": 0, "slope": 500000}
+
+
+def q_focal_mean3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal mean over cube chunks WITH HALO EXCHANGE — the
+    neighborhood raster op zonal/pyramid don't cover. The kernel works
+    on real block arrays and real exchanged strips (never the closed
+    form), so the oracle — which recomputes every pixel's clipped
+    3x3 mean from the synthetic formula in SQL — validates the entire
+    halo plumbing bit-for-bit (x72 scaling keeps it integer-exact).
+    See operators.focal for the plan shape."""
+    from smart_geocubes_spark.operators.focal import focal_mean3_72
+
+    return focal_mean3_72(spark, GRID, FOCAL_ROIS, ["dem", "slope"], FOCAL_OFFSETS)
+
+
+def _focal_oracle_sql() -> str:
+    """Closed-form per-pixel replay: global pixel grid per ROI rect,
+    9-neighbor lateral clipped at the rect, v2 from the block formula,
+    f72 = (36 // cnt) * sum — all integer."""
+    w = GRID.chunk_px
+    nx = GRID.n_tiles_x
+    roi_parts = []
+    for i, roi in enumerate(FOCAL_ROIS):
+        t = GRID.tiles_overlapping_bbox(*roi)
+        tx0, tx1 = int(t[:, 0].min()), int(t[:, 0].max())
+        ty0, ty1 = int(t[:, 1].min()), int(t[:, 1].max())
+        r0, r1 = ty0 * w, (ty1 + 1) * w - 1
+        c0, c1 = tx0 * w, (tx1 + 1) * w - 1
+        roi_parts.append(
+            f"""  SELECT {i} AS roi_idx, R, C,
+         {r0} AS r_lo, {r1} AS r_hi, {c0} AS c_lo, {c1} AS c_hi
+  FROM generate_series({r0}, {r1}) tr(R), generate_series({c0}, {c1}) tc(C)"""
+        )
+    px_body = "\n  UNION ALL\n".join(roi_parts)
+    ch_values = ", ".join(f"('{c}', {o})" for c, o in FOCAL_OFFSETS.items())
+    return f"""WITH px AS (
+{px_body}
+),
+nb AS (
+  SELECT roi_idx, R, C, channel,
+         CAST(sum(2 * (((R + dr) // {w}) * 1000 + ((C + dc) // {w}) + off)
+                  + ((R + dr) % {w}) * {w} + ((C + dc) % {w})) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM px,
+       generate_series(-1, 1) a(dr),
+       generate_series(-1, 1) b(dc),
+       (VALUES {ch_values}) ch(channel, off)
+  WHERE R + dr BETWEEN r_lo AND r_hi AND C + dc BETWEEN c_lo AND c_hi
+  GROUP BY roi_idx, R, C, channel
+),
+f AS (
+  SELECT roi_idx, R, C, channel, (36 // cnt) * s AS f72 FROM nb
+)
+SELECT CAST(roi_idx AS INT) AS roi_idx,
+       CAST((R // {w}) * {nx} + (C // {w}) AS BIGINT) AS tile_id,
+       channel,
+       CAST(sum(f72) AS BIGINT) AS f72_sum,
+       CAST(min(f72) AS BIGINT) AS f72_min,
+       CAST(max(f72) AS BIGINT) AS f72_max
+FROM f GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -3739,6 +3807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_hops": q_bfs_hops,
     "approx_quantiles_hist": q_approx_quantiles_hist,
     "pmi_collocations": q_pmi_collocations,
+    "focal_mean3": q_focal_mean3,
 }
 
 # The driver's CORRECTNESS snapshot caps at 50 entries, taken in registry
@@ -3756,6 +3825,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bfs_hops",
     "approx_quantiles_hist",
     "pmi_collocations",
+    "focal_mean3",
     "token_rarity",
     "patch_overlap_area",
     "url_rules_filter",
@@ -3786,6 +3856,7 @@ ORACLES: dict[str, str] = {
     "bfs_hops": _bfs_oracle_sql(3),
     "approx_quantiles_hist": SQL_APPROX_QUANTILES_HIST,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "focal_mean3": _focal_oracle_sql(),
     "token_rarity": SQL_TOKEN_RARITY,
     "patch_overlap_area": SQL_PATCH_OVERLAP_AREA,
     "url_rules_filter": SQL_URL_RULES_FILTER,

@@ -655,3 +655,86 @@ class TestMergeAsofBy:
         got = sorted((r.grp, r.asof_t) for r in
                      merge_asof_backward(ev, tab, "grp", "ts", "t").collect())
         assert got == [(0, 100), (1, None)]
+
+
+class TestFocalMean3:
+    """Halo-exchange focal op: brute-force parity on a tiny grid, and
+    proof the halo genuinely changes interior chunk borders."""
+
+    W = 2
+
+    def _grid(self):
+        from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
+
+        return TileGrid(
+            geobox=GeoBox(crs="EPSG:4326", x0=0.0, y0=2.0, res=0.5, width=4, height=4),
+            chunk_px=self.W,
+        )
+
+    def _brute(self, grid, roi):
+        W = self.W
+        t = grid.tiles_overlapping_bbox(*roi)
+        r_lo, r_hi = t[:, 1].min() * W, (t[:, 1].max() + 1) * W - 1
+        c_lo, c_hi = t[:, 0].min() * W, (t[:, 0].max() + 1) * W - 1
+
+        def v2(R, C):
+            return 2 * ((R // W) * 1000 + (C // W)) + (R % W) * W + (C % W)
+
+        want = {}
+        for R in range(r_lo, r_hi + 1):
+            for C in range(c_lo, c_hi + 1):
+                s = cnt = 0
+                for dr in (-1, 0, 1):
+                    for dc in (-1, 0, 1):
+                        if r_lo <= R + dr <= r_hi and c_lo <= C + dc <= c_hi:
+                            s += v2(R + dr, C + dc)
+                            cnt += 1
+                f = (36 // cnt) * s
+                key = ((R // W) * grid.n_tiles_x + (C // W), "dem")
+                e = want.setdefault(key, [0, 10**18, -(10**18)])
+                e[0] += f
+                e[1] = min(e[1], f)
+                e[2] = max(e[2], f)
+        return {k: tuple(v) for k, v in want.items()}
+
+    def test_matches_brute_force(self, spark):
+        from smart_geocubes_spark.operators.focal import focal_mean3_72
+
+        grid = self._grid()
+        roi = (0.1, 0.1, 1.9, 1.9)  # all 2x2 tiles
+        got = {
+            (r.tile_id, r.channel): (r.f72_sum, r.f72_min, r.f72_max)
+            for r in focal_mean3_72(spark, grid, [roi], ["dem"], {"dem": 0}).collect()
+        }
+        assert got == self._brute(grid, roi)
+
+    def test_halo_genuinely_crosses_chunk_borders(self, spark):
+        """Without the exchange, every chunk would see a clipped kernel
+        at ITS OWN border: f72 there uses cnt<9 and misses neighbor
+        values. Assert the exchanged result differs from the
+        chunk-local clipped computation on interior borders."""
+        import numpy as np
+
+        from smart_geocubes_spark.operators.focal import focal_mean3_72
+
+        grid = self._grid()
+        roi = (0.1, 0.1, 1.9, 1.9)
+        got = {
+            (r.tile_id, r.channel): r.f72_sum
+            for r in focal_mean3_72(spark, grid, [roi], ["dem"], {"dem": 0}).collect()
+        }
+        # chunk-local clipped focal (no halo), tile (0,0)
+        W = self.W
+        v2 = np.arange(W * W, dtype=np.int64).reshape(W, W)  # base 0
+        s = np.zeros((W, W), np.int64)
+        cnt = np.zeros((W, W), np.int64)
+        pad = np.zeros((W + 2, W + 2), np.int64)
+        m = np.zeros((W + 2, W + 2), np.int64)
+        pad[1:-1, 1:-1] = v2
+        m[1:-1, 1:-1] = 1
+        for dr in range(3):
+            for dc in range(3):
+                s += pad[dr : dr + W, dc : dc + W]
+                cnt += m[dr : dr + W, dc : dc + W]
+        local_sum = int(((36 // cnt) * s).sum())
+        assert got[(0, "dem")] != local_sum  # halo changed the answer

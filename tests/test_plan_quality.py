@@ -515,3 +515,21 @@ def test_pmi_unigram_joins_are_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "ArrowEvalPython" not in plan
+
+
+def test_focal_mean3_two_python_nodes_no_joins(spark):
+    """Halo exchange must be JVM strip projections + ONE grouped
+    assembly: exactly one MapInPandas (block gen) and one grouped-map
+    node; strips never route through joins or extra Python hops."""
+    from smart_geocubes_spark.queries import q_focal_mean3
+
+    plan = plan_of(q_focal_mean3(spark, SF))
+    # block generation (MapInPandas) is materialized behind the eager
+    # checkpoint: centers and strips both read the SAME ExistingRDD —
+    # the one-generation contract
+    assert plan.count("ExistingRDD") == 2
+    assert plan.count("FlatMapGroupsInPandas") == 1  # the one assembly
+    assert "Generate explode" in plan  # strips are a JVM generator
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # strips route by group key, not joins
+    assert plan.count("Exchange hashpartitioning") == 1  # the one halo shuffle
