@@ -87,16 +87,19 @@ def _strip_exprs(w: int) -> list[tuple[int, int, str, str]]:
     ]
 
 
-def focal_mean3_72(
+def _focal(
     spark: SparkSession,
     grid: TileGrid,
     rois: list[tuple[float, float, float, float]],
     channels: list[str],
     offsets: dict[str, int],
+    reduce_fn,
 ) -> DataFrame:
-    """3x3 focal mean (scaled x72 for exact integers) per chunk, with
-    halo exchange; region boundary = each ROI's tile rectangle (clipped
-    kernel there). Returns per-chunk sum/min/max of f72."""
+    """Shared halo pipeline: v2 block gen -> strips -> grouped
+    assembly; ``reduce_fn(pad, mask, w) -> (w, w) int64`` is the
+    per-pixel neighborhood reduce (mean72, max, ...). Region boundary
+    = each ROI's tile rectangle (clipped kernel there); returns
+    per-chunk sum/min/max of the reduced field."""
     w = grid.chunk_px
     parts = []
     for i, roi in enumerate(rois):
@@ -165,13 +168,7 @@ def focal_mean3_72(
             else:
                 pad[rs, cs] = cells.reshape(1, -1) if cells.size > 1 else cells
             mask[rs, cs] = 1
-        s = np.zeros((w, w), dtype=np.int64)
-        cnt = np.zeros((w, w), dtype=np.int64)
-        for dr in range(3):
-            for dc in range(3):
-                s += pad[dr : dr + w, dc : dc + w] * mask[dr : dr + w, dc : dc + w]
-                cnt += mask[dr : dr + w, dc : dc + w]
-        f72 = (36 // cnt) * s  # cnt in {4,6,9}, all divide 36 -> exact
+        f72 = reduce_fn(pad, mask, w)
         r0 = center.iloc[0]
         tid = int(r0["tile_y"]) * nx + int(r0["tile_x"])
         return pd.DataFrame(
@@ -188,3 +185,47 @@ def focal_mean3_72(
     return both.groupBy("roi_idx", "tile_x", "tile_y", "channel").applyInPandas(
         assemble, schema=FOCAL_SCHEMA
     )
+
+
+def _mean72_reduce(pad: np.ndarray, mask: np.ndarray, w: int) -> np.ndarray:
+    s = np.zeros((w, w), dtype=np.int64)
+    cnt = np.zeros((w, w), dtype=np.int64)
+    for dr in range(3):
+        for dc in range(3):
+            s += pad[dr : dr + w, dc : dc + w] * mask[dr : dr + w, dc : dc + w]
+            cnt += mask[dr : dr + w, dc : dc + w]
+    return (36 // cnt) * s  # cnt in {4,6,9}, all divide 36 -> exact
+
+
+def _max_reduce(pad: np.ndarray, mask: np.ndarray, w: int) -> np.ndarray:
+    lo = np.iinfo(np.int64).min
+    masked = np.where(mask == 1, pad, lo)
+    out = np.full((w, w), lo, dtype=np.int64)
+    for dr in range(3):
+        for dc in range(3):
+            np.maximum(out, masked[dr : dr + w, dc : dc + w], out=out)
+    return out  # center always present -> never lo
+
+
+def focal_mean3_72(
+    spark: SparkSession,
+    grid: TileGrid,
+    rois: list[tuple[float, float, float, float]],
+    channels: list[str],
+    offsets: dict[str, int],
+) -> DataFrame:
+    """3x3 focal mean, scaled x72 for exact integers (module doc)."""
+    return _focal(spark, grid, rois, channels, offsets, _mean72_reduce)
+
+
+def focal_max3(
+    spark: SparkSession,
+    grid: TileGrid,
+    rois: list[tuple[float, float, float, float]],
+    channels: list[str],
+    offsets: dict[str, int],
+) -> DataFrame:
+    """3x3 focal max (morphological DILATION) — natively integer in
+    the v2 domain, same halo pipeline, max replaces the mean reduce
+    (clipped neighborhoods just see fewer candidates)."""
+    return _focal(spark, grid, rois, channels, offsets, _max_reduce)

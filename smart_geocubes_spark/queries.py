@@ -3717,6 +3717,64 @@ FROM f GROUP BY 1, 2, 3
 """
 
 
+def q_focal_max3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal max (morphological dilation) through the same halo
+    pipeline as focal_mean3 — natively integer in the v2 domain, so
+    no scaling is needed; columns renamed to the fmax_* family."""
+    from smart_geocubes_spark.operators.focal import focal_max3
+
+    out = focal_max3(spark, GRID, FOCAL_ROIS, ["dem", "slope"], FOCAL_OFFSETS)
+    return out.select(
+        "roi_idx", "tile_id", "channel",
+        F.col("f72_sum").alias("fmax_sum"),
+        F.col("f72_min").alias("fmax_min"),
+        F.col("f72_max").alias("fmax_max"),
+    )
+
+
+def _focal_max_oracle_sql() -> str:
+    """Same per-pixel lateral as the mean oracle, max instead of the
+    scaled sum."""
+    w = GRID.chunk_px
+    nx = GRID.n_tiles_x
+    roi_parts = []
+    for i, roi in enumerate(FOCAL_ROIS):
+        t = GRID.tiles_overlapping_bbox(*roi)
+        tx0, tx1 = int(t[:, 0].min()), int(t[:, 0].max())
+        ty0, ty1 = int(t[:, 1].min()), int(t[:, 1].max())
+        r0, r1 = ty0 * w, (ty1 + 1) * w - 1
+        c0, c1 = tx0 * w, (tx1 + 1) * w - 1
+        roi_parts.append(
+            f"""  SELECT {i} AS roi_idx, R, C,
+         {r0} AS r_lo, {r1} AS r_hi, {c0} AS c_lo, {c1} AS c_hi
+  FROM generate_series({r0}, {r1}) tr(R), generate_series({c0}, {c1}) tc(C)"""
+        )
+    px_body = "\n  UNION ALL\n".join(roi_parts)
+    ch_values = ", ".join(f"('{c}', {o})" for c, o in FOCAL_OFFSETS.items())
+    return f"""WITH px AS (
+{px_body}
+),
+nb AS (
+  SELECT roi_idx, R, C, channel,
+         CAST(max(2 * (((R + dr) // {w}) * 1000 + ((C + dc) // {w}) + off)
+                  + ((R + dr) % {w}) * {w} + ((C + dc) % {w})) AS BIGINT) AS m
+  FROM px,
+       generate_series(-1, 1) a(dr),
+       generate_series(-1, 1) b(dc),
+       (VALUES {ch_values}) ch(channel, off)
+  WHERE R + dr BETWEEN r_lo AND r_hi AND C + dc BETWEEN c_lo AND c_hi
+  GROUP BY roi_idx, R, C, channel
+)
+SELECT CAST(roi_idx AS INT) AS roi_idx,
+       CAST((R // {w}) * {nx} + (C // {w}) AS BIGINT) AS tile_id,
+       channel,
+       CAST(sum(m) AS BIGINT) AS fmax_sum,
+       CAST(min(m) AS BIGINT) AS fmax_min,
+       CAST(max(m) AS BIGINT) AS fmax_max
+FROM nb GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -3808,6 +3866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantiles_hist": q_approx_quantiles_hist,
     "pmi_collocations": q_pmi_collocations,
     "focal_mean3": q_focal_mean3,
+    "focal_max3": q_focal_max3,
 }
 
 # The driver's CORRECTNESS snapshot caps at 50 entries, taken in registry
@@ -3826,6 +3885,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "approx_quantiles_hist",
     "pmi_collocations",
     "focal_mean3",
+    "focal_max3",
     "token_rarity",
     "patch_overlap_area",
     "url_rules_filter",
@@ -3857,6 +3917,7 @@ ORACLES: dict[str, str] = {
     "approx_quantiles_hist": SQL_APPROX_QUANTILES_HIST,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "focal_mean3": _focal_oracle_sql(),
+    "focal_max3": _focal_max_oracle_sql(),
     "token_rarity": SQL_TOKEN_RARITY,
     "patch_overlap_area": SQL_PATCH_OVERLAP_AREA,
     "url_rules_filter": SQL_URL_RULES_FILTER,
