@@ -111,6 +111,14 @@ def _focal(
     ch = spark.createDataFrame(pd.DataFrame({"channel": channels}))
     cand = tiles.crossJoin(F.broadcast(ch))
     blocks = cand.mapInPandas(_v2_gen(w, offsets), schema=V2_BLOCK_SCHEMA)
+    return focal_from_v2_blocks(blocks, grid, reduce_fn)
+
+
+def focal_from_v2_blocks(blocks: DataFrame, grid: TileGrid, reduce_fn) -> DataFrame:
+    """The halo pipeline proper, over ANY v2-block frame matching
+    V2_BLOCK_SCHEMA — the synthetic generator above and the cube-store
+    read path (``focal_mean3_cube``) both feed this."""
+    w = grid.chunk_px
     # feeds the center rows AND 8 strip projections -> one generation
     blocks = blocks.localCheckpoint(eager=True)
 
@@ -229,3 +237,24 @@ def focal_max3(
     the v2 domain, same halo pipeline, max replaces the mean reduce
     (clipped neighborhoods just see fewer candidates)."""
     return _focal(spark, grid, rois, channels, offsets, _max_reduce)
+
+
+def focal_mean3_cube(spark: SparkSession, cube_path: str,
+                     roi: tuple[float, float, float, float]) -> DataFrame:
+    """Focal mean over REAL cube-store blocks: load() the ROI, double
+    the float values into the exact-int64 v2 domain JVM-side (block
+    values step by 0.5, so 2*x is lossless), and run the same halo
+    pipeline. This is the production path — at 100 TB the blocks come
+    from the store, not a formula; only the oracle/tests use the
+    closed form."""
+    from smart_geocubes_spark.plans.materialize import load, open_spec
+
+    spec = open_spec(cube_path)
+    blocks = load(spark, cube_path, roi).select(
+        F.lit(0).cast("int").alias("roi_idx"),
+        "tile_x",
+        "tile_y",
+        "channel",
+        F.expr("transform(block, x -> CAST(2.0 * x AS BIGINT))").alias("block"),
+    )
+    return focal_from_v2_blocks(blocks, spec.grid, _mean72_reduce)

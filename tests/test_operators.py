@@ -738,3 +738,32 @@ class TestFocalMean3:
                 cnt += m[dr : dr + W, dc : dc + W]
         local_sum = int(((36 // cnt) * s).sum())
         assert got[(0, "dem")] != local_sum  # halo changed the answer
+
+    def test_cube_store_path_equals_synth_path(self, spark, tmp_path):
+        """focal over REAL store blocks (load -> 2x doubling -> halo)
+        equals focal over the synthetic generator on the same grid/ROI
+        — the production read path produces the identical field."""
+        from smart_geocubes_spark.operators.focal import (
+            focal_mean3_72,
+            focal_mean3_cube,
+        )
+        from smart_geocubes_spark.plans.materialize import (
+            CubeSpec,
+            create_cube,
+            materialize,
+        )
+
+        grid = self._grid()
+        roi = (0.1, 0.1, 1.9, 1.9)
+        cube = str(tmp_path / "cube")
+        create_cube(cube, CubeSpec(grid=grid, channels=("dem",), time_epochs=None))
+        materialize(spark, cube, roi)
+        got = {
+            (r.tile_id, r.channel): (r.f72_sum, r.f72_min, r.f72_max)
+            for r in focal_mean3_cube(spark, cube, roi).collect()
+        }
+        want = {
+            (r.tile_id, r.channel): (r.f72_sum, r.f72_min, r.f72_max)
+            for r in focal_mean3_72(spark, grid, [roi], ["dem"], {"dem": 0}).collect()
+        }
+        assert got == want and len(got) == 4
