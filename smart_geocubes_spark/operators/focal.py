@@ -250,6 +250,15 @@ def focal_mean3_cube(spark: SparkSession, cube_path: str,
     from smart_geocubes_spark.plans.materialize import load, open_spec
 
     spec = open_spec(cube_path)
+    if spec.time_epochs is not None:
+        # the halo group key is (tile, channel): a temporal cube's
+        # steps would silently MERGE across time — refuse loudly until
+        # time_idx is threaded through the pipeline (run per-step via
+        # load(toi_epochs=[t]) in the meantime)
+        raise ValueError(
+            "focal_mean3_cube supports atemporal cubes only; "
+            "run one time step at a time for temporal cubes"
+        )
     blocks = load(spark, cube_path, roi).select(
         F.lit(0).cast("int").alias("roi_idx"),
         "tile_x",

@@ -767,3 +767,18 @@ class TestFocalMean3:
             for r in focal_mean3_72(spark, grid, [roi], ["dem"], {"dem": 0}).collect()
         }
         assert got == want and len(got) == 4
+
+    def test_cube_path_refuses_temporal(self, spark, tmp_path):
+        from smart_geocubes_spark.operators.focal import focal_mean3_cube
+        from smart_geocubes_spark.plans.materialize import CubeSpec, create_cube
+
+        cube = str(tmp_path / "tcube")
+        create_cube(
+            cube,
+            CubeSpec(grid=self._grid(), channels=("dem",),
+                     time_epochs=(1577836800, 1577923200)),
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="atemporal"):
+            focal_mean3_cube(spark, cube, (0.1, 0.1, 1.9, 1.9))
