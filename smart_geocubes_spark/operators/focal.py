@@ -42,10 +42,11 @@ from pyspark.sql import functions as F
 from smart_geocubes_spark.geo.geobox import TileGrid
 
 V2_BLOCK_SCHEMA = (
-    "roi_idx int, tile_x long, tile_y long, channel string, block array<long>"
+    "roi_idx int, time_idx int, tile_x long, tile_y long, "
+    "channel string, block array<long>"
 )
 FOCAL_SCHEMA = (
-    "roi_idx int, tile_id long, channel string, "
+    "roi_idx int, time_idx int, tile_id long, channel string, "
     "f72_sum long, f72_min long, f72_max long"
 )
 
@@ -64,7 +65,7 @@ def _v2_gen(chunk_px: int, offsets: dict[str, int]):
                 + b["tile_x"].to_numpy(np.int64)
                 + off
             )
-            out = b[["roi_idx", "tile_x", "tile_y", "channel"]].copy()
+            out = b[["roi_idx", "time_idx", "tile_x", "tile_y", "channel"]].copy()
             out["block"] = list(base2[:, None] + ramp[None, :])
             yield out
 
@@ -109,7 +110,9 @@ def _focal(
         parts.append(pdf)
     tiles = spark.createDataFrame(pd.concat(parts, ignore_index=True))
     ch = spark.createDataFrame(pd.DataFrame({"channel": channels}))
-    cand = tiles.crossJoin(F.broadcast(ch))
+    cand = tiles.crossJoin(F.broadcast(ch)).withColumn(
+        "time_idx", F.lit(-1).cast("int")  # synth path is atemporal
+    )
     blocks = cand.mapInPandas(_v2_gen(w, offsets), schema=V2_BLOCK_SCHEMA)
     return focal_from_v2_blocks(blocks, grid, reduce_fn)
 
@@ -123,7 +126,7 @@ def focal_from_v2_blocks(blocks: DataFrame, grid: TileGrid, reduce_fn) -> DataFr
     blocks = blocks.localCheckpoint(eager=True)
 
     centers = blocks.select(
-        "roi_idx", "tile_x", "tile_y", "channel",
+        "roi_idx", "time_idx", "tile_x", "tile_y", "channel",
         F.lit("center").alias("part"), F.col("block").alias("cells"),
     )
     strip_structs = ", ".join(
@@ -132,9 +135,10 @@ def focal_from_v2_blocks(blocks: DataFrame, grid: TileGrid, reduce_fn) -> DataFr
         for dtx, dty, edge, expr in _strip_exprs(w)
     )
     strips = blocks.selectExpr(
-        "roi_idx", "channel", f"explode(array({strip_structs})) AS s"
+        "roi_idx", "time_idx", "channel", f"explode(array({strip_structs})) AS s"
     ).select(
         "roi_idx",
+        "time_idx",
         F.col("s.tx").alias("tile_x"),
         F.col("s.ty").alias("tile_y"),
         "channel",
@@ -149,7 +153,7 @@ def focal_from_v2_blocks(blocks: DataFrame, grid: TileGrid, reduce_fn) -> DataFr
         if center.empty:
             # strips aimed at a tile outside the region: no chunk here
             return pd.DataFrame(
-                columns=["roi_idx", "tile_id", "channel",
+                columns=["roi_idx", "time_idx", "tile_id", "channel",
                          "f72_sum", "f72_min", "f72_max"]
             )
         pad = np.zeros((w + 2, w + 2), dtype=np.int64)
@@ -182,6 +186,7 @@ def focal_from_v2_blocks(blocks: DataFrame, grid: TileGrid, reduce_fn) -> DataFr
         return pd.DataFrame(
             {
                 "roi_idx": [np.int32(r0["roi_idx"])],
+                "time_idx": [np.int32(r0["time_idx"])],
                 "tile_id": [np.int64(tid)],
                 "channel": [r0["channel"]],
                 "f72_sum": [np.int64(f72.sum())],
@@ -190,9 +195,9 @@ def focal_from_v2_blocks(blocks: DataFrame, grid: TileGrid, reduce_fn) -> DataFr
             }
         )
 
-    return both.groupBy("roi_idx", "tile_x", "tile_y", "channel").applyInPandas(
-        assemble, schema=FOCAL_SCHEMA
-    )
+    return both.groupBy(
+        "roi_idx", "time_idx", "tile_x", "tile_y", "channel"
+    ).applyInPandas(assemble, schema=FOCAL_SCHEMA)
 
 
 def _mean72_reduce(pad: np.ndarray, mask: np.ndarray, w: int) -> np.ndarray:
@@ -250,17 +255,9 @@ def focal_mean3_cube(spark: SparkSession, cube_path: str,
     from smart_geocubes_spark.plans.materialize import load, open_spec
 
     spec = open_spec(cube_path)
-    if spec.time_epochs is not None:
-        # the halo group key is (tile, channel): a temporal cube's
-        # steps would silently MERGE across time — refuse loudly until
-        # time_idx is threaded through the pipeline (run per-step via
-        # load(toi_epochs=[t]) in the meantime)
-        raise ValueError(
-            "focal_mean3_cube supports atemporal cubes only; "
-            "run one time step at a time for temporal cubes"
-        )
     blocks = load(spark, cube_path, roi).select(
         F.lit(0).cast("int").alias("roi_idx"),
+        F.col("time_idx").cast("int").alias("time_idx"),
         "tile_x",
         "tile_y",
         "channel",

@@ -3708,12 +3708,13 @@ f AS (
   SELECT roi_idx, R, C, channel, (36 // cnt) * s AS f72 FROM nb
 )
 SELECT CAST(roi_idx AS INT) AS roi_idx,
+       CAST(-1 AS INT) AS time_idx,
        CAST((R // {w}) * {nx} + (C // {w}) AS BIGINT) AS tile_id,
        channel,
        CAST(sum(f72) AS BIGINT) AS f72_sum,
        CAST(min(f72) AS BIGINT) AS f72_min,
        CAST(max(f72) AS BIGINT) AS f72_max
-FROM f GROUP BY 1, 2, 3
+FROM f GROUP BY 1, 2, 3, 4
 """
 
 
@@ -3725,7 +3726,7 @@ def q_focal_max3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = focal_max3(spark, GRID, FOCAL_ROIS, ["dem", "slope"], FOCAL_OFFSETS)
     return out.select(
-        "roi_idx", "tile_id", "channel",
+        "roi_idx", "time_idx", "tile_id", "channel",
         F.col("f72_sum").alias("fmax_sum"),
         F.col("f72_min").alias("fmax_min"),
         F.col("f72_max").alias("fmax_max"),
@@ -3766,12 +3767,13 @@ nb AS (
   GROUP BY roi_idx, R, C, channel
 )
 SELECT CAST(roi_idx AS INT) AS roi_idx,
+       CAST(-1 AS INT) AS time_idx,
        CAST((R // {w}) * {nx} + (C // {w}) AS BIGINT) AS tile_id,
        channel,
        CAST(sum(m) AS BIGINT) AS fmax_sum,
        CAST(min(m) AS BIGINT) AS fmax_min,
        CAST(max(m) AS BIGINT) AS fmax_max
-FROM nb GROUP BY 1, 2, 3
+FROM nb GROUP BY 1, 2, 3, 4
 """
 
 

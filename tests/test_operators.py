@@ -768,17 +768,40 @@ class TestFocalMean3:
         }
         assert got == want and len(got) == 4
 
-    def test_cube_path_refuses_temporal(self, spark, tmp_path):
-        from smart_geocubes_spark.operators.focal import focal_mean3_cube
-        from smart_geocubes_spark.plans.materialize import CubeSpec, create_cube
+    def test_cube_path_keeps_time_steps_separate(self, spark, tmp_path):
+        """time_idx is part of the halo group key: a temporal cube's
+        steps never merge — each step reproduces the atemporal field
+        (the synthetic block formula is time-invariant)."""
+        from smart_geocubes_spark.operators.focal import (
+            focal_mean3_72,
+            focal_mean3_cube,
+        )
+        from smart_geocubes_spark.plans.materialize import (
+            CubeSpec,
+            create_cube,
+            materialize,
+        )
 
+        grid = self._grid()
+        roi = (0.1, 0.1, 1.9, 1.9)
         cube = str(tmp_path / "tcube")
         create_cube(
             cube,
-            CubeSpec(grid=self._grid(), channels=("dem",),
+            CubeSpec(grid=grid, channels=("dem",),
                      time_epochs=(1577836800, 1577923200)),
         )
-        import pytest as _pytest
-
-        with _pytest.raises(ValueError, match="atemporal"):
-            focal_mean3_cube(spark, cube, (0.1, 0.1, 1.9, 1.9))
+        materialize(spark, cube, roi)
+        got = focal_mean3_cube(spark, cube, roi).collect()
+        assert len(got) == 8  # 4 tiles x 2 time steps, not merged
+        assert {r.time_idx for r in got} == {0, 1}
+        want = {
+            (r.tile_id, r.channel): r.f72_sum
+            for r in focal_mean3_72(spark, grid, [roi], ["dem"], {"dem": 0}).collect()
+        }
+        # the fill kernel shifts step t's field by a CONSTANT 10*t
+        # (materialize "time shift so temporal chunks differ per
+        # step"); focal mean of (v + 10t) = mean + 10t, so f72_sum
+        # shifts by exactly 72*10*t per pixel = 720*t*W^2 per chunk
+        for r in got:
+            shift = 720 * r.time_idx * self.W * self.W
+            assert r.f72_sum == want[(r.tile_id, r.channel)] + shift
