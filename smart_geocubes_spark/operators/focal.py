@@ -50,24 +50,31 @@ FOCAL_SCHEMA = (
     "f72_sum long, f72_min long, f72_max long"
 )
 
-# the synthetic block formula, doubled: v2 = 2*(ty*1000 + tx + off) + p
-# (p row-major r*W + c). Offsets must be integers for the exact-BIGINT
-# contract; plans.materialize.CHANNEL_OFFSETS are (0.0, 500000.0).
-def _v2_gen(chunk_px: int, offsets: dict[str, int]):
+# v2 = 2*value: the doubled synthetic block field. The base comes from
+# plans.materialize.block_base_values — THE single definition of the
+# formula (materialize.py's own rule); a hand-copy here would let the
+# focal synth path and its oracle drift from the store path together.
+def _v2_gen(chunk_px: int):
+    from smart_geocubes_spark.plans.materialize import block_base_values
+
     n_px = chunk_px * chunk_px
+    # bound the transient (rows x n_px) int64 block to ~16 MB per slice
+    # (CLAUDE.md kernel working-set rule) — Arrow batches can be 10k
+    # rows, which at 100px chunks would be an 800 MB allocation
+    rows_per_slice = max(1, (16 << 20) // (8 * n_px))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ramp = np.arange(n_px, dtype=np.int64)
         for b in batches:
-            off = b["channel"].map(offsets).to_numpy(dtype=np.int64)
-            base2 = 2 * (
-                b["tile_y"].to_numpy(np.int64) * 1000
-                + b["tile_x"].to_numpy(np.int64)
-                + off
-            )
-            out = b[["roi_idx", "time_idx", "tile_x", "tile_y", "channel"]].copy()
-            out["block"] = list(base2[:, None] + ramp[None, :])
-            yield out
+            for lo in range(0, len(b), rows_per_slice):
+                sl = b.iloc[lo : lo + rows_per_slice]
+                base2 = 2.0 * block_base_values(sl)
+                # bases are integer-valued by construction; verify the
+                # exact-BIGINT contract loudly rather than truncate
+                assert np.all(base2 == np.rint(base2)), "non-integer block base"
+                out = sl[["roi_idx", "time_idx", "tile_x", "tile_y", "channel"]].copy()
+                out["block"] = list(base2.astype(np.int64)[:, None] + ramp[None, :])
+                yield out
 
     return gen
 
@@ -93,7 +100,6 @@ def _focal(
     grid: TileGrid,
     rois: list[tuple[float, float, float, float]],
     channels: list[str],
-    offsets: dict[str, int],
     reduce_fn,
 ) -> DataFrame:
     """Shared halo pipeline: v2 block gen -> strips -> grouped
@@ -113,7 +119,7 @@ def _focal(
     cand = tiles.crossJoin(F.broadcast(ch)).withColumn(
         "time_idx", F.lit(-1).cast("int")  # synth path is atemporal
     )
-    blocks = cand.mapInPandas(_v2_gen(w, offsets), schema=V2_BLOCK_SCHEMA)
+    blocks = cand.mapInPandas(_v2_gen(w), schema=V2_BLOCK_SCHEMA)
     return focal_from_v2_blocks(blocks, grid, reduce_fn)
 
 
@@ -207,7 +213,16 @@ def _mean72_reduce(pad: np.ndarray, mask: np.ndarray, w: int) -> np.ndarray:
         for dc in range(3):
             s += pad[dr : dr + w, dc : dc + w] * mask[dr : dr + w, dc : dc + w]
             cnt += mask[dr : dr + w, dc : dc + w]
-    return (36 // cnt) * s  # cnt in {4,6,9}, all divide 36 -> exact
+    if not np.all(36 % cnt == 0):
+        # cnt in {4,6,9} only for a FULL rectangular region: a hole in
+        # the block set (partially-filled cube, orphaned chunk) yields
+        # cnt in {5,7,8}, where the floor division would silently skew
+        # every affected pixel — fail loudly instead
+        raise ValueError(
+            "focal mean72: neighborhood count not in {4,6,9} — the "
+            "loaded region is not a full rectangle (hole in the cube?)"
+        )
+    return (36 // cnt) * s  # exact: every cnt divides 36
 
 
 def _max_reduce(pad: np.ndarray, mask: np.ndarray, w: int) -> np.ndarray:
@@ -225,10 +240,9 @@ def focal_mean3_72(
     grid: TileGrid,
     rois: list[tuple[float, float, float, float]],
     channels: list[str],
-    offsets: dict[str, int],
 ) -> DataFrame:
     """3x3 focal mean, scaled x72 for exact integers (module doc)."""
-    return _focal(spark, grid, rois, channels, offsets, _mean72_reduce)
+    return _focal(spark, grid, rois, channels, _mean72_reduce)
 
 
 def focal_max3(
@@ -236,12 +250,11 @@ def focal_max3(
     grid: TileGrid,
     rois: list[tuple[float, float, float, float]],
     channels: list[str],
-    offsets: dict[str, int],
 ) -> DataFrame:
     """3x3 focal max (morphological DILATION) — natively integer in
     the v2 domain, same halo pipeline, max replaces the mean reduce
     (clipped neighborhoods just see fewer candidates)."""
-    return _focal(spark, grid, rois, channels, offsets, _max_reduce)
+    return _focal(spark, grid, rois, channels, _max_reduce)
 
 
 def focal_mean3_cube(spark: SparkSession, cube_path: str,
@@ -255,7 +268,27 @@ def focal_mean3_cube(spark: SparkSession, cube_path: str,
     from smart_geocubes_spark.plans.materialize import load, open_spec
 
     spec = open_spec(cube_path)
-    blocks = load(spark, cube_path, roi).select(
+    loaded = load(spark, cube_path, roi).localCheckpoint(eager=True)  # guard + v2
+    # the exact-BIGINT contract requires NaN-free blocks on the 0.5
+    # grid (the standard fill kernel's output). Patch-filled cubes can
+    # carry NaN cells (materialize_patch's out-of-footprint border) or
+    # arbitrary value_offsets: under ANSI the cast would throw mid-plan
+    # (or silently zero with ANSI off) — refuse loudly up front.
+    # patch NaNs arrive as NULL array elements after the parquet
+    # round-trip (Arrow maps NaN list cells to NULL — CLAUDE.md trap),
+    # so test NULL-or-NaN, then the half-step contract
+    bad = loaded.filter(
+        F.expr(
+            "exists(block, x -> x IS NULL OR isnan(x)"
+            " OR abs(2.0 * x - round(2.0 * x)) > 0)"
+        )
+    )
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            "focal cube path requires NaN-free blocks with 0.5-step values "
+            "(standard fill kernel); found NaN or non-half-step cells"
+        )
+    blocks = loaded.select(
         F.lit(0).cast("int").alias("roi_idx"),
         F.col("time_idx").cast("int").alias("time_idx"),
         "tile_x",

@@ -3650,10 +3650,15 @@ WHERE tot.n_bg * b.c_ab >= {PMI_K} * ca.c * cb.c
 
 
 # focal fixture: the first two zonal ROI rectangles (3x3 and 4x2 tile
-# regions) x both channels; integer channel offsets (the exact-BIGINT
-# contract of operators.focal)
+# regions) x both channels. The ORACLE's integer offsets derive from
+# THE single formula definition (materialize.CHANNEL_OFFSETS) — the
+# engine side reads it directly via block_base_values, so neither copy
+# can drift alone.
+from smart_geocubes_spark.plans.materialize import CHANNEL_OFFSETS as _CH_OFF  # noqa: E402
+
 FOCAL_ROIS = ZONAL_ROIS[:2]
-FOCAL_OFFSETS = {"dem": 0, "slope": 500000}
+FOCAL_OFFSETS = {c: int(o) for c, o in _CH_OFF.items()}
+assert all(o == int(o) for o in _CH_OFF.values()), "non-integer channel offset"
 
 
 def q_focal_mean3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3666,15 +3671,14 @@ def q_focal_mean3(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators.focal for the plan shape."""
     from smart_geocubes_spark.operators.focal import focal_mean3_72
 
-    return focal_mean3_72(spark, GRID, FOCAL_ROIS, ["dem", "slope"], FOCAL_OFFSETS)
+    return focal_mean3_72(spark, GRID, FOCAL_ROIS, ["dem", "slope"])
 
 
-def _focal_oracle_sql() -> str:
-    """Closed-form per-pixel replay: global pixel grid per ROI rect,
-    9-neighbor lateral clipped at the rect, v2 from the block formula,
-    f72 = (36 // cnt) * sum — all integer."""
+def _focal_oracle_parts() -> tuple[str, str, str]:
+    """Shared oracle scaffolding for BOTH focal oracles: the per-ROI
+    global-pixel CTE body, the channel VALUES list, and the closed-form
+    neighbor v2 expression — one copy, two aggregates."""
     w = GRID.chunk_px
-    nx = GRID.n_tiles_x
     roi_parts = []
     for i, roi in enumerate(FOCAL_ROIS):
         t = GRID.tiles_overlapping_bbox(*roi)
@@ -3689,33 +3693,58 @@ def _focal_oracle_sql() -> str:
         )
     px_body = "\n  UNION ALL\n".join(roi_parts)
     ch_values = ", ".join(f"('{c}', {o})" for c, o in FOCAL_OFFSETS.items())
+    v2_expr = (
+        f"2 * (((R + dr) // {w}) * 1000 + ((C + dc) // {w}) + off)"
+        f" + ((R + dr) % {w}) * {w} + ((C + dc) % {w})"
+    )
+    return px_body, ch_values, v2_expr
+
+
+def _focal_oracle_body(agg_select: str, final_select: str) -> str:
+    px_body, ch_values, v2_expr = _focal_oracle_parts()
+    w = GRID.chunk_px
+    nx = GRID.n_tiles_x
     return f"""WITH px AS (
 {px_body}
 ),
 nb AS (
   SELECT roi_idx, R, C, channel,
-         CAST(sum(2 * (((R + dr) // {w}) * 1000 + ((C + dc) // {w}) + off)
-                  + ((R + dr) % {w}) * {w} + ((C + dc) % {w})) AS BIGINT) AS s,
-         CAST(count(*) AS BIGINT) AS cnt
+         {agg_select.format(v2=v2_expr)}
   FROM px,
        generate_series(-1, 1) a(dr),
        generate_series(-1, 1) b(dc),
        (VALUES {ch_values}) ch(channel, off)
   WHERE R + dr BETWEEN r_lo AND r_hi AND C + dc BETWEEN c_lo AND c_hi
   GROUP BY roi_idx, R, C, channel
-),
-f AS (
-  SELECT roi_idx, R, C, channel, (36 // cnt) * s AS f72 FROM nb
 )
 SELECT CAST(roi_idx AS INT) AS roi_idx,
        CAST(-1 AS INT) AS time_idx,
        CAST((R // {w}) * {nx} + (C // {w}) AS BIGINT) AS tile_id,
        channel,
-       CAST(sum(f72) AS BIGINT) AS f72_sum,
-       CAST(min(f72) AS BIGINT) AS f72_min,
-       CAST(max(f72) AS BIGINT) AS f72_max
-FROM f GROUP BY 1, 2, 3, 4
+       {final_select}
+FROM nb GROUP BY 1, 2, 3, 4
 """
+
+
+def _focal_oracle_sql() -> str:
+    """Closed-form per-pixel replay of focal_mean3: f72 per pixel is
+    (36 // cnt) * sum(v2) — all integer."""
+    return _focal_oracle_body(
+        "CAST(sum({v2}) AS BIGINT) AS s,\n         CAST(count(*) AS BIGINT) AS cnt",
+        """CAST(sum((36 // cnt) * s) AS BIGINT) AS f72_sum,
+       CAST(min((36 // cnt) * s) AS BIGINT) AS f72_min,
+       CAST(max((36 // cnt) * s) AS BIGINT) AS f72_max""",
+    )
+
+
+def _focal_max_oracle_sql() -> str:
+    """Same per-pixel lateral, max in place of the scaled sum."""
+    return _focal_oracle_body(
+        "CAST(max({v2}) AS BIGINT) AS m",
+        """CAST(sum(m) AS BIGINT) AS fmax_sum,
+       CAST(min(m) AS BIGINT) AS fmax_min,
+       CAST(max(m) AS BIGINT) AS fmax_max""",
+    )
 
 
 def q_focal_max3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3724,57 +3753,13 @@ def q_focal_max3(spark: SparkSession, sf_dir: str) -> DataFrame:
     no scaling is needed; columns renamed to the fmax_* family."""
     from smart_geocubes_spark.operators.focal import focal_max3
 
-    out = focal_max3(spark, GRID, FOCAL_ROIS, ["dem", "slope"], FOCAL_OFFSETS)
+    out = focal_max3(spark, GRID, FOCAL_ROIS, ["dem", "slope"])
     return out.select(
         "roi_idx", "time_idx", "tile_id", "channel",
         F.col("f72_sum").alias("fmax_sum"),
         F.col("f72_min").alias("fmax_min"),
         F.col("f72_max").alias("fmax_max"),
     )
-
-
-def _focal_max_oracle_sql() -> str:
-    """Same per-pixel lateral as the mean oracle, max instead of the
-    scaled sum."""
-    w = GRID.chunk_px
-    nx = GRID.n_tiles_x
-    roi_parts = []
-    for i, roi in enumerate(FOCAL_ROIS):
-        t = GRID.tiles_overlapping_bbox(*roi)
-        tx0, tx1 = int(t[:, 0].min()), int(t[:, 0].max())
-        ty0, ty1 = int(t[:, 1].min()), int(t[:, 1].max())
-        r0, r1 = ty0 * w, (ty1 + 1) * w - 1
-        c0, c1 = tx0 * w, (tx1 + 1) * w - 1
-        roi_parts.append(
-            f"""  SELECT {i} AS roi_idx, R, C,
-         {r0} AS r_lo, {r1} AS r_hi, {c0} AS c_lo, {c1} AS c_hi
-  FROM generate_series({r0}, {r1}) tr(R), generate_series({c0}, {c1}) tc(C)"""
-        )
-    px_body = "\n  UNION ALL\n".join(roi_parts)
-    ch_values = ", ".join(f"('{c}', {o})" for c, o in FOCAL_OFFSETS.items())
-    return f"""WITH px AS (
-{px_body}
-),
-nb AS (
-  SELECT roi_idx, R, C, channel,
-         CAST(max(2 * (((R + dr) // {w}) * 1000 + ((C + dc) // {w}) + off)
-                  + ((R + dr) % {w}) * {w} + ((C + dc) % {w})) AS BIGINT) AS m
-  FROM px,
-       generate_series(-1, 1) a(dr),
-       generate_series(-1, 1) b(dc),
-       (VALUES {ch_values}) ch(channel, off)
-  WHERE R + dr BETWEEN r_lo AND r_hi AND C + dc BETWEEN c_lo AND c_hi
-  GROUP BY roi_idx, R, C, channel
-)
-SELECT CAST(roi_idx AS INT) AS roi_idx,
-       CAST(-1 AS INT) AS time_idx,
-       CAST((R // {w}) * {nx} + (C // {w}) AS BIGINT) AS tile_id,
-       channel,
-       CAST(sum(m) AS BIGINT) AS fmax_sum,
-       CAST(min(m) AS BIGINT) AS fmax_min,
-       CAST(max(m) AS BIGINT) AS fmax_max
-FROM nb GROUP BY 1, 2, 3, 4
-"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

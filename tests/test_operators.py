@@ -704,7 +704,7 @@ class TestFocalMean3:
         roi = (0.1, 0.1, 1.9, 1.9)  # all 2x2 tiles
         got = {
             (r.tile_id, r.channel): (r.f72_sum, r.f72_min, r.f72_max)
-            for r in focal_mean3_72(spark, grid, [roi], ["dem"], {"dem": 0}).collect()
+            for r in focal_mean3_72(spark, grid, [roi], ["dem"]).collect()
         }
         assert got == self._brute(grid, roi)
 
@@ -721,7 +721,7 @@ class TestFocalMean3:
         roi = (0.1, 0.1, 1.9, 1.9)
         got = {
             (r.tile_id, r.channel): r.f72_sum
-            for r in focal_mean3_72(spark, grid, [roi], ["dem"], {"dem": 0}).collect()
+            for r in focal_mean3_72(spark, grid, [roi], ["dem"]).collect()
         }
         # chunk-local clipped focal (no halo), tile (0,0)
         W = self.W
@@ -764,7 +764,7 @@ class TestFocalMean3:
         }
         want = {
             (r.tile_id, r.channel): (r.f72_sum, r.f72_min, r.f72_max)
-            for r in focal_mean3_72(spark, grid, [roi], ["dem"], {"dem": 0}).collect()
+            for r in focal_mean3_72(spark, grid, [roi], ["dem"]).collect()
         }
         assert got == want and len(got) == 4
 
@@ -796,7 +796,7 @@ class TestFocalMean3:
         assert {r.time_idx for r in got} == {0, 1}
         want = {
             (r.tile_id, r.channel): r.f72_sum
-            for r in focal_mean3_72(spark, grid, [roi], ["dem"], {"dem": 0}).collect()
+            for r in focal_mean3_72(spark, grid, [roi], ["dem"]).collect()
         }
         # the fill kernel shifts step t's field by a CONSTANT 10*t
         # (materialize "time shift so temporal chunks differ per
@@ -805,3 +805,46 @@ class TestFocalMean3:
         for r in got:
             shift = 720 * r.time_idx * self.W * self.W
             assert r.f72_sum == want[(r.tile_id, r.channel)] + shift
+
+    def test_cube_path_refuses_nan_blocks(self, spark, tmp_path):
+        """Patch-filled cubes can carry NaN cells; the exact-BIGINT
+        focal contract must refuse them loudly, not throw mid-plan
+        under ANSI or silently zero without it."""
+        from smart_geocubes_spark.operators.focal import focal_mean3_cube
+        from smart_geocubes_spark.plans.materialize import (
+            CubeSpec,
+            create_cube,
+            materialize_patch,
+        )
+
+        grid = self._grid()
+        cube = str(tmp_path / "pcube")
+        create_cube(cube, CubeSpec(grid=grid, channels=("dem",), time_epochs=None))
+        # a patch covering only ONE pixel center of its tile -> the
+        # other cells are NaN borders
+        materialize_patch(spark, cube, (0.1, 0.1, 0.4, 0.4), "p0")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="NaN-free"):
+            focal_mean3_cube(spark, cube, (0.1, 0.1, 0.4, 0.4))
+
+    def test_mean_reduce_rejects_holes(self):
+        """A non-rectangular region (missing diagonal neighbor) yields
+        cnt=8 somewhere — the reduce must raise, never floor-divide."""
+        import numpy as np
+        import pytest as _pytest
+
+        from smart_geocubes_spark.operators.focal import _mean72_reduce
+
+        w = 2
+        pad = np.zeros((w + 2, w + 2), dtype=np.int64)
+        mask = np.zeros((w + 2, w + 2), dtype=np.int64)
+        mask[1:-1, 1:-1] = 1
+        # full halo EXCEPT one diagonal corner -> cnt=8 at that pixel
+        mask[0, 1:] = 1
+        mask[1:, 0] = 1
+        mask[-1, 1:-1] = 1
+        mask[1:-1, -1] = 1
+        mask[-1, -1] = 1
+        with _pytest.raises(ValueError, match="not a full rectangle"):
+            _mean72_reduce(pad, mask, w)
