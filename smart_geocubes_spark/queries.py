@@ -3674,13 +3674,13 @@ def q_focal_mean3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_mean3_72(spark, GRID, FOCAL_ROIS, ["dem", "slope"])
 
 
-def _focal_oracle_parts() -> tuple[str, str, str]:
+def _focal_oracle_parts(rois=None) -> tuple[str, str, str]:
     """Shared oracle scaffolding for BOTH focal oracles: the per-ROI
     global-pixel CTE body, the channel VALUES list, and the closed-form
     neighbor v2 expression — one copy, two aggregates."""
     w = GRID.chunk_px
     roi_parts = []
-    for i, roi in enumerate(FOCAL_ROIS):
+    for i, roi in enumerate(FOCAL_ROIS if rois is None else rois):
         t = GRID.tiles_overlapping_bbox(*roi)
         tx0, tx1 = int(t[:, 0].min()), int(t[:, 0].max())
         ty0, ty1 = int(t[:, 1].min()), int(t[:, 1].max())
@@ -3700,8 +3700,8 @@ def _focal_oracle_parts() -> tuple[str, str, str]:
     return px_body, ch_values, v2_expr
 
 
-def _focal_oracle_body(agg_select: str, final_select: str) -> str:
-    px_body, ch_values, v2_expr = _focal_oracle_parts()
+def _focal_oracle_body(agg_select: str, final_select: str, rois=None) -> str:
+    px_body, ch_values, v2_expr = _focal_oracle_parts(rois)
     w = GRID.chunk_px
     nx = GRID.n_tiles_x
     return f"""WITH px AS (
@@ -3760,6 +3760,38 @@ def q_focal_max3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f72_min").alias("fmax_min"),
         F.col("f72_max").alias("fmax_max"),
     )
+
+
+def q_focal_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORE PATH itself under the driver's value-hash: create a
+    temp cube, FILL it with the real materialize kernel, read it back
+    through load(), run the halo pipeline over the loaded blocks —
+    and compare the whole chain against the same closed-form focal
+    oracle. Until now store correctness was pytest-only; this row
+    puts create -> fill -> commit -> load -> halo end-to-end under
+    rows+schema+hash. The result is eagerly checkpointed so the temp
+    cube can be deleted before the gate collects."""
+    import shutil
+    import tempfile
+
+    from smart_geocubes_spark.operators.focal import focal_mean3_cube
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        materialize,
+    )
+
+    root = tempfile.mkdtemp(prefix="focalcube_")
+    try:
+        path = root + "/cube"
+        create_cube(
+            path, CubeSpec(grid=GRID, channels=("dem", "slope"), time_epochs=None)
+        )
+        materialize(spark, path, FOCAL_ROIS[0])
+        # 18 result rows: checkpoint eagerly, then the store can go
+        return focal_mean3_cube(spark, path, FOCAL_ROIS[0]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3854,6 +3886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     "focal_mean3": q_focal_mean3,
     "focal_max3": q_focal_max3,
+    "focal_cube": q_focal_cube,
 }
 
 # The driver's CORRECTNESS snapshot caps at 50 entries, taken in registry
@@ -3873,6 +3906,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pmi_collocations",
     "focal_mean3",
     "focal_max3",
+    "focal_cube",
     "token_rarity",
     "patch_overlap_area",
     "url_rules_filter",
@@ -3905,6 +3939,13 @@ ORACLES: dict[str, str] = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "focal_mean3": _focal_oracle_sql(),
     "focal_max3": _focal_max_oracle_sql(),
+    "focal_cube": _focal_oracle_body(
+        "CAST(sum({v2}) AS BIGINT) AS s,\n         CAST(count(*) AS BIGINT) AS cnt",
+        """CAST(sum((36 // cnt) * s) AS BIGINT) AS f72_sum,
+       CAST(min((36 // cnt) * s) AS BIGINT) AS f72_min,
+       CAST(max((36 // cnt) * s) AS BIGINT) AS f72_max""",
+        rois=FOCAL_ROIS[:1],
+    ),
     "token_rarity": SQL_TOKEN_RARITY,
     "patch_overlap_area": SQL_PATCH_OVERLAP_AREA,
     "url_rules_filter": SQL_URL_RULES_FILTER,
