@@ -315,3 +315,57 @@ def bfs_hops(
             .agg(F.min("dist").cast("long").alias("dist"))
         )
     return dist
+
+
+def label_propagation(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
+    """``n_rounds`` of synchronous label propagation (community
+    detection) with DETERMINISTIC tie-breaking: every node starts as
+    its own label; each round a node adopts the most frequent label
+    among its UNDIRECTED neighbors, ties broken by the SMALLEST label
+    (then keeps its current label only if it has no neighbors). The
+    min-tie rule makes the fixed number of rounds bit-reproducible
+    under any partitioning — the property the textbook random-tie LPA
+    lacks and the reason the DuckDB oracle can replay it exactly.
+
+    Plan shape per round: one hash join (edges x labels) + one count
+    aggregate + one min-over-max-count selection (window-free: two
+    aggregates) — Pregel-as-joins like the rest of the family. The
+    label frame feeds the next round once (chain, not union-with-self),
+    so one checkpoint per round bounds plan growth linearly."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("src").alias("host_id")).distinct().localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("host_id"))
+    for _ in range(n_rounds):
+        labels = labels.localCheckpoint(eager=True)  # joined + carried
+        neigh = (
+            und.join(labels, und["dst"] == labels["host_id"])
+            .groupBy(F.col("src").alias("node"), F.col("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        # most frequent label, ties -> smallest label: one aggregate
+        # over (c desc, label asc) encoded as a single packed min
+        # (c <= n_nodes < 2^31, label < 2^31: pack exactly in BIGINT)
+        best = (
+            neigh.groupBy("node")
+            .agg(
+                F.min(
+                    (-F.col("c").cast("long") * F.lit(1 << 31)) + F.col("label").cast("long")
+                ).alias("packed")
+            )
+            .select(
+                F.col("node").alias("host_id"),
+                ((F.col("packed") % F.lit(1 << 31) + F.lit(1 << 31)) % F.lit(1 << 31))
+                .cast("long")
+                .alias("new_label"),
+            )
+        )
+        labels = labels.join(best, "host_id", "left").select(
+            "host_id",
+            F.coalesce(F.col("new_label"), F.col("label")).cast("long").alias("label"),
+        )
+    return labels

@@ -3762,6 +3762,66 @@ def q_focal_max3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LPA fixture sampler: reuse the BFS sparsifier (community structure
+# needs a sparse graph; the unsampled multi graph is near-complete)
+LPA_EDGE_KEEP = BFS_EDGE_KEEP
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of deterministic label propagation (community
+    detection) over the sparsified host graph — min-tie-break LPA is
+    bit-reproducible, so the oracle replays it with unrolled CTEs
+    using the identical packed-min trick (see
+    operators.graph.label_propagation)."""
+    from smart_geocubes_spark.operators.graph import (
+        host_link_edges_multi,
+        label_propagation,
+    )
+
+    ensure_base_views(spark, sf_dir)
+    pages = spark.sql(pages_sql("orders"))
+    edges = host_link_edges_multi(pages).filter(F.expr(LPA_EDGE_KEEP))
+    return label_propagation(edges, n_rounds=2)
+
+
+def _lpa_oracle_sql(n_rounds: int = 2) -> str:
+    """Unrolled-CTE replay: symmetrized edges, per-round neighbor-label
+    counts, winner = min(-c * 2^31 + label) unpacked with the shared
+    double-mod (both engines' % is sign-of-dividend)."""
+    ctes = [
+        _multi_edges_nodes_cte(LPA_EDGE_KEEP)
+        + """, und AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges
+), l0 AS (SELECT host_id, CAST(host_id AS BIGINT) AS label FROM nodes)"""
+    ]
+    prev = "l0"
+    m = 1 << 31
+    for k in range(1, n_rounds + 1):
+        ctes.append(
+            f"""n{k} AS (
+  SELECT e.src AS node, p.label, count(*) AS c
+  FROM und e JOIN {prev} p ON e.dst = p.host_id
+  GROUP BY e.src, p.label
+), b{k} AS (
+  SELECT node AS host_id,
+         CAST(((min(-c * {m} + label) % {m}) + {m}) % {m} AS BIGINT) AS new_label
+  FROM n{k} GROUP BY node
+), l{k} AS (
+  SELECT p.host_id,
+         CAST(coalesce(b.new_label, p.label) AS BIGINT) AS label
+  FROM {prev} p LEFT JOIN b{k} b ON b.host_id = p.host_id
+)"""
+        )
+        prev = f"l{k}"
+    body = ",\n".join(ctes)
+    return f"""{ORACLE_PREFIX},
+{body}
+SELECT host_id, label FROM {prev}
+"""
+
+
 def q_focal_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORE PATH itself under the driver's value-hash: create a
     temp cube, FILL it with the real materialize kernel, read it back
@@ -3887,6 +3947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_mean3": q_focal_mean3,
     "focal_max3": q_focal_max3,
     "focal_cube": q_focal_cube,
+    "label_propagation": q_label_propagation,
 }
 
 # The driver's CORRECTNESS snapshot caps at 50 entries, taken in registry
@@ -3907,6 +3968,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "focal_mean3",
     "focal_max3",
     "focal_cube",
+    "label_propagation",
     "token_rarity",
     "patch_overlap_area",
     "url_rules_filter",
@@ -3946,6 +4008,7 @@ ORACLES: dict[str, str] = {
        CAST(max((36 // cnt) * s) AS BIGINT) AS f72_max""",
         rois=FOCAL_ROIS[:1],
     ),
+    "label_propagation": _lpa_oracle_sql(2),
     "token_rarity": SQL_TOKEN_RARITY,
     "patch_overlap_area": SQL_PATCH_OVERLAP_AREA,
     "url_rules_filter": SQL_URL_RULES_FILTER,

@@ -510,3 +510,30 @@ class TestPmiCollocations:
         # expectation of the frequent unigrams: 82*19 < 2*20*40
         assert not passes("cat", "the")
         assert not passes("cat", "cat")  # never adjacent at all
+
+
+class TestLabelPropagation:
+    def test_hand_computed_two_rounds(self, spark):
+        # triangle 0-1-2 (undirected via symmetrize) + edge 10-11.
+        # r1: 0->min(1,2)=1, 1->min(0,2)=0, 2->min(0,1)=0, 10<->11 swap
+        # r2: 0 sees {0,0} -> 0; 1 sees {1,0} tie -> 0; 2 -> 0;
+        #     10/11 swap back to themselves.
+        from smart_geocubes_spark.operators.graph import label_propagation
+
+        out = label_propagation(
+            _edges(spark, [(0, 1), (0, 2), (1, 2), (10, 11)]), n_rounds=2
+        )
+        got = {r.host_id: r.label for r in out.collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 11}
+
+    def test_majority_beats_min_label(self, spark):
+        # node 0 has neighbors {5, 6, 7} all pre-labeled... single
+        # round from identity: star 9-{5,5' ...}: make 0 adjacent to
+        # 5,6,6 is impossible (distinct edges) — use counts via shared
+        # neighbors: 0-5, 0-6, 5-6: after r1, 0 sees {5,6} tie -> 5.
+        # One round only: majority tie broken by SMALLEST label.
+        from smart_geocubes_spark.operators.graph import label_propagation
+
+        out = label_propagation(_edges(spark, [(0, 5), (0, 6), (5, 6)]), n_rounds=1)
+        got = {r.host_id: r.label for r in out.collect()}
+        assert got == {0: 5, 5: 0, 6: 0}

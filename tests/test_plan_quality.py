@@ -533,3 +533,15 @@ def test_focal_mean3_two_python_nodes_no_joins(spark):
     assert "ArrowEvalPython" not in plan
     assert "Join" not in plan  # strips route by group key, not joins
     assert plan.count("Exchange hashpartitioning") == 1  # the one halo shuffle
+
+
+def test_label_propagation_rounds_are_hash_joins(spark):
+    """Same Pregel-as-joins contract as pagerank/HITS/BFS; the winner
+    pick is a packed-min AGGREGATE, never a per-node window sort."""
+    from smart_geocubes_spark.queries import q_label_propagation
+
+    plan = plan_of(q_label_propagation(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan
