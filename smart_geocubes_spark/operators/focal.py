@@ -64,8 +64,16 @@ def _v2_gen(chunk_px: int):
     rows_per_slice = max(1, (16 << 20) // (8 * n_px))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from smart_geocubes_spark.plans.materialize import CHANNEL_OFFSETS
+
         ramp = np.arange(n_px, dtype=np.int64)
         for b in batches:
+            # block_base_values maps unknown channels to offset 0.0
+            # (fillna) — a typo'd channel would generate plausible
+            # wrong blocks; raise loudly instead
+            unknown = set(b["channel"]) - set(CHANNEL_OFFSETS)
+            if unknown:
+                raise ValueError(f"unknown channels {sorted(unknown)}")
             for lo in range(0, len(b), rows_per_slice):
                 sl = b.iloc[lo : lo + rows_per_slice]
                 base2 = 2.0 * block_base_values(sl)

@@ -338,7 +338,22 @@ def label_propagation(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = und.select(F.col("src").alias("host_id")).distinct().localCheckpoint(eager=True)
+    # loud domain guard (module convention, like pagerank's 2^53 bound):
+    # the packed-min encoding needs every id/label in [0, 2^31) — a raw
+    # 64-bit hash id would silently collide across (count, label) pairs
+    # and merge unrelated communities
+    b = und.agg(
+        F.min("src").alias("lo"), F.max("src").alias("hi")
+    ).first()
+    if b["lo"] is not None and (b["lo"] < 0 or b["hi"] >= 1 << 31):
+        raise ValueError(
+            f"label_propagation: node ids must be in [0, 2^31) for the "
+            f"packed-min tie-break (got range [{b['lo']}, {b['hi']}]); "
+            f"reduce ids first"
+        )
+    # nodes feeds exactly one consumer (the identity labels, themselves
+    # checkpointed each round) — no checkpoint needed here
+    nodes = und.select(F.col("src").alias("host_id")).distinct()
     labels = nodes.withColumn("label", F.col("host_id"))
     for _ in range(n_rounds):
         labels = labels.localCheckpoint(eager=True)  # joined + carried

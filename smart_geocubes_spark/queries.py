@@ -3726,14 +3726,17 @@ FROM nb GROUP BY 1, 2, 3, 4
 """
 
 
-def _focal_oracle_sql() -> str:
+def _focal_oracle_sql(rois=None) -> str:
     """Closed-form per-pixel replay of focal_mean3: f72 per pixel is
-    (36 // cnt) * sum(v2) — all integer."""
+    (36 // cnt) * sum(v2) — all integer. ``rois`` restricts the replay
+    (focal_cube reuses THIS builder for its single-ROI store run — one
+    formula definition for both oracles)."""
     return _focal_oracle_body(
         "CAST(sum({v2}) AS BIGINT) AS s,\n         CAST(count(*) AS BIGINT) AS cnt",
         """CAST(sum((36 // cnt) * s) AS BIGINT) AS f72_sum,
        CAST(min((36 // cnt) * s) AS BIGINT) AS f72_min,
        CAST(max((36 // cnt) * s) AS BIGINT) AS f72_max""",
+        rois=rois,
     )
 
 
@@ -4001,13 +4004,7 @@ ORACLES: dict[str, str] = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "focal_mean3": _focal_oracle_sql(),
     "focal_max3": _focal_max_oracle_sql(),
-    "focal_cube": _focal_oracle_body(
-        "CAST(sum({v2}) AS BIGINT) AS s,\n         CAST(count(*) AS BIGINT) AS cnt",
-        """CAST(sum((36 // cnt) * s) AS BIGINT) AS f72_sum,
-       CAST(min((36 // cnt) * s) AS BIGINT) AS f72_min,
-       CAST(max((36 // cnt) * s) AS BIGINT) AS f72_max""",
-        rois=FOCAL_ROIS[:1],
-    ),
+    "focal_cube": _focal_oracle_sql(rois=FOCAL_ROIS[:1]),
     "label_propagation": _lpa_oracle_sql(2),
     "token_rarity": SQL_TOKEN_RARITY,
     "patch_overlap_area": SQL_PATCH_OVERLAP_AREA,

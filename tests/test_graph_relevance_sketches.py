@@ -537,3 +537,41 @@ class TestLabelPropagation:
         out = label_propagation(_edges(spark, [(0, 5), (0, 6), (5, 6)]), n_rounds=1)
         got = {r.host_id: r.label for r in out.collect()}
         assert got == {0: 5, 5: 0, 6: 0}
+
+    def test_majority_genuinely_beats_smaller_label(self, spark):
+        """A count-2 HIGH label must beat a count-1 LOWER label — the
+        case a broken packing (min(label) alone, or a sign flip on the
+        count term) would get wrong while every tie-only test passes.
+        Expected values come from a brute-force replay of the rule."""
+        from smart_geocubes_spark.operators.graph import label_propagation
+
+        pairs = [(50, 20), (50, 21), (50, 22), (20, 30), (21, 30), (22, 10)]
+        out = label_propagation(_edges(spark, pairs), n_rounds=2)
+        got = {r.host_id: r.label for r in out.collect()}
+
+        # brute force with the identical min-tie rule
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        lab = {n: n for n in adj}
+        for _ in range(2):
+            nxt = {}
+            for n in adj:
+                c = Counter(lab[m] for m in adj[n])
+                top = max(c.values())
+                nxt[n] = min(l for l, k in c.items() if k == top)
+            lab = nxt
+        assert got == lab
+        # and the decisive pixel of the fixture: node 50's round-2
+        # neighborhood is {30: x2, 10: x1} -> the MAJORITY label 30
+        # must win over the smaller label 10
+        assert got[50] == 30
+
+    def test_out_of_domain_ids_raise(self, spark):
+        from smart_geocubes_spark.operators.graph import label_propagation
+
+        with pytest.raises(ValueError, match="2\\^31"):
+            label_propagation(_edges(spark, [(1 << 32, 5)]), n_rounds=1).collect()
