@@ -372,19 +372,23 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     ]
     # warm python UDF workers once so query 1 isn't charged the spawn
     qs["geoparse"](spark, sf_dir).limit(1000).write.format("noop").mode("overwrite").save()
+    # min-of-2 with the reps INTERLEAVED across the query list (two full
+    # passes, min per query) instead of back-to-back: this host's steal
+    # spikes last minutes, so back-to-back reps put BOTH samples of one
+    # query inside the same spike (r4 driver artifact: 8x asof on
+    # unchanged zero-shuffle code). Interleaving separates a query's two
+    # samples by a full pass (~15-25 s), so a spike must span both
+    # passes to poison the min.
     out: dict[str, float] = {}
-    for n in names:
-        if n not in qs:
-            continue
-        best = None
-        for _ in range(2):  # min-of-2: the host is shared/noisy
+    present = [n for n in names if n in qs]
+    for _pass in range(2):
+        for n in present:
             t0 = time.time()
             df = qs[n](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        out[n] = round(best, 3)
-    return out
+            out[n] = dt if n not in out else min(out[n], dt)
+    return {n: round(out[n], 3) for n in present}
 
 
 def main() -> None:

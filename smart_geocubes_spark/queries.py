@@ -3325,7 +3325,13 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, and readers union a token's segments lazily — the
     standard sharded-postings layout. array_sort(collect_set(...))
     makes the array order deterministic (Spark's collect order is not),
-    matching the oracle's list(... ORDER BY ...)."""
+    matching the oracle's list(... ORDER BY ...).
+
+    Output contract: `postings` is a comma-joined STRING, not an
+    array — the driver's canonicalizer sorts result rows with pandas,
+    which cannot factorize list cells (r4: the one red driver row).
+    tests/test_oracle_parity.py pins registry-wide that no query
+    outputs array/struct/map columns."""
     ensure_base_views(spark, sf_dir)
     corpus = corpus_df(spark)
     pairs = corpus.select(
@@ -3341,7 +3347,15 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok", "segment")
         .agg(
             F.count("*").cast("long").alias("df_seg"),
-            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+            F.array_sort(F.collect_set("doc_id")).alias("plist"),
+        )
+        .select(
+            "tok",
+            "segment",
+            "df_seg",
+            F.expr(
+                "array_join(transform(plist, x -> cast(x AS STRING)), ',')"
+            ).alias("postings"),
         )
     )
 
@@ -3353,7 +3367,7 @@ tokp AS (
 pairs AS (SELECT DISTINCT doc_id, tok FROM tokp)
 SELECT tok, CAST(doc_id // {SEG_DOCS} AS BIGINT) AS segment,
        CAST(count(*) AS BIGINT) AS df_seg,
-       list(CAST(doc_id AS BIGINT) ORDER BY doc_id) AS postings
+       array_to_string(list(CAST(doc_id AS BIGINT) ORDER BY doc_id), ',') AS postings
 FROM pairs
 GROUP BY tok, doc_id // {SEG_DOCS}
 """

@@ -80,7 +80,24 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]
 
 
 def run_gate(spark, sf_dir: str, name: str, query_fn, oracle: str | None) -> list[str]:
-    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    df = query_fn(spark, sf_dir)
+    # Driver-canonicalizer contract: the driver sorts result rows with
+    # pandas sort_values, which cannot factorize list cells — an
+    # array/struct/map output column crashes the driver gate even when
+    # values match (r4: inverted_index, the one red row). Enforce
+    # registry-wide here so the replica can never silently pass a
+    # contract the driver would reject.
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "struct", "map")
+    ]
+    if complex_cols:
+        return [
+            f"complex-typed output columns {complex_cols} violate the "
+            "driver canonicalizer contract (join arrays to strings)"
+        ]
+    spark_pdf = df.toPandas()
     if oracle is None:
         return [] if len(spark_pdf) >= 0 else ["unreachable"]
     con = duckdb_connection(sf_dir)
