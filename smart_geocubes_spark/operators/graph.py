@@ -171,22 +171,49 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def _degree_oriented(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient canonical a<b edges along the (deg, id) total order:
+    two hash equi-joins against the degree table, then a projection.
+    Struct comparison is lexicographic, and (deg,a)==(deg,b) is
+    impossible since a != b."""
+    lt = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    return (
+        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+
+
+def triangle_stats(edges: DataFrame, orientation: str = "degree") -> DataFrame:
     """Global triangle census of the undirected host graph: one row
     (n_nodes, n_edges, n_wedges, n_triangles).
 
-    Compact-forward counting: symmetrize to canonical a < b edges, then
-    count paths a < b < c with both (a,b),(b,c) present and close them
-    against (a,c) — each triangle counted exactly once via the total
-    order, no post-hoc /6.  All three joins are hash equi-joins.
+    Compact-forward counting: symmetrize to canonical a < b edges,
+    orient each edge along a TOTAL ORDER on vertices, enumerate length-2
+    out-wedges at each source, and close them against the canonical edge
+    set — each triangle counted exactly once (exactly one of its three
+    vertices has both out-edges under any total order), no post-hoc /6.
+    All joins are hash equi-joins.
 
-    Scale note: id-orientation bounds wedge enumeration by the max
-    id-forward degree; on power-law web graphs the production
-    refinement is DEGREE-ordered orientation ((deg, id) totally orders
-    endpoints), which caps work at O(E^1.5) regardless of skew — same
-    plan shape, one extra degree join.  n_wedges = sum(deg*(deg-1) DIV 2)
-    stays exact in BIGINT (consecutive integers: the product is even).
+    ``orientation='degree'`` (default, the production shape) orders
+    vertices by (deg, id): every out-wedge lives at its triangle's
+    LOWEST-degree vertex, which caps wedge enumeration at O(E^1.5)
+    total regardless of degree skew [Chiba–Nishizeki] — on a power-law
+    web graph, id-orientation can strand a hub with millions of
+    id-forward neighbors and quadratic wedge fan-out at that one
+    vertex.  Costs one extra degree join (broadcast-sized relative to
+    the wedge set).  ``orientation='id'`` keeps the plain a < b
+    orientation (kept for the skew-fixture equivalence pytest; the
+    count is orientation-invariant).
+
+    n_wedges = sum(deg*(deg-1) DIV 2) stays exact in BIGINT
+    (consecutive integers: the product is even).
     """
+    if orientation not in ("degree", "id"):
+        raise ValueError(f"triangle_stats: unknown orientation {orientation!r}")
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -205,12 +232,23 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_nodes"),
         F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges"),
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    if orientation == "degree":
+        # the orientation joins run inside this eager checkpoint's job
+        # (oriented feeds both wedge legs), so they never appear in the
+        # returned plan — tests/test_plan_quality.py audits
+        # _degree_oriented's plan directly
+        oriented = _degree_oriented(und, deg).localCheckpoint(eager=True)
+    else:
+        oriented = und.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    # out-wedge at u: unordered neighbor pair {p, q} deduped by id p < q;
+    # the closing edge (p, q) with p < q is exactly und's canonical form
+    w1 = oriented.select("u", F.col("w").alias("p"))
+    w2 = oriented.select("u", F.col("w").alias("q"))
+    e3 = und.select(F.col("a").alias("p3"), F.col("b").alias("q3"))
     tri = (
-        e1.join(e2, e1["y"] == e2["y2"])  # path x < y < z
-        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        w1.join(w2, "u")
+        .filter(F.col("p") < F.col("q"))
+        .join(e3, (F.col("p") == F.col("p3")) & (F.col("q") == F.col("q3")))
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
     n_edges = und.agg(F.count("*").cast("long").alias("n_edges"))
@@ -332,25 +370,27 @@ def label_propagation(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
     aggregates) — Pregel-as-joins like the rest of the family. The
     label frame feeds the next round once (chain, not union-with-self),
     so one checkpoint per round bounds plan growth linearly."""
+    # loud domain guard (module convention, like pagerank's 2^53 bound):
+    # the packed-min encoding needs every id/label in [0, 2^31) — a raw
+    # 64-bit hash id would silently collide across (count, label) pairs
+    # and merge unrelated communities.  IN-PLAN (ANSI raise_error inside
+    # the undirected projection, evaluated during the checkpoint job)
+    # rather than a driver-side pre-aggregation: the guard costs zero
+    # extra jobs.  Checking src alone covers every endpoint because the
+    # union mirrors each edge, so each dst also appears as a src.
+    guard = (
+        "CASE WHEN src < 0 OR src >= 2147483648 THEN raise_error(concat("
+        "'label_propagation: node id ', CAST(src AS STRING), "
+        "' outside [0, 2^31) — packed-min tie-break needs reduced ids')) "
+        "ELSE CAST(src AS BIGINT) END"
+    )
     und = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .select(F.expr(guard).alias("src"), F.col("dst").cast("long").alias("dst"))
         .localCheckpoint(eager=True)
     )
-    # loud domain guard (module convention, like pagerank's 2^53 bound):
-    # the packed-min encoding needs every id/label in [0, 2^31) — a raw
-    # 64-bit hash id would silently collide across (count, label) pairs
-    # and merge unrelated communities
-    b = und.agg(
-        F.min("src").alias("lo"), F.max("src").alias("hi")
-    ).first()
-    if b["lo"] is not None and (b["lo"] < 0 or b["hi"] >= 1 << 31):
-        raise ValueError(
-            f"label_propagation: node ids must be in [0, 2^31) for the "
-            f"packed-min tie-break (got range [{b['lo']}, {b['hi']}]); "
-            f"reduce ids first"
-        )
     # nodes feeds exactly one consumer (the identity labels, themselves
     # checkpointed each round) — no checkpoint needed here
     nodes = und.select(F.col("src").alias("host_id")).distinct()

@@ -213,6 +213,34 @@ class TestTriangleStats:
         r = self._tri(spark, [(0, 1), (1, 0), (0, 1)])
         assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (2, 1, 0)
 
+    def test_degree_and_id_orientation_agree_on_zipfian_graph(self, spark):
+        """Counts are orientation-invariant; pin degree == id on a
+        skewed fixture that exercises the hub case the degree
+        orientation exists for: hub 0 connects to everyone (the exact
+        shape where id-orientation strands quadratic wedge fan-out at
+        one vertex), plus a Zipf-ish deterministic tail of cross
+        edges and an id REVERSAL (hub has the LOWEST id) so the two
+        orientations genuinely orient many edges differently."""
+        from smart_geocubes_spark.operators.graph import triangle_stats
+
+        n = 60
+        pairs = [(0, v) for v in range(1, n)]  # hub: deg 59, id 0
+        # deterministic sparse tail: v -- v + step for harmonic steps
+        pairs += [
+            (v, v + s) for s in (1, 2, 3, 5, 8, 13) for v in range(1, n - s, s)
+        ]
+        e = _edges(spark, pairs).localCheckpoint(eager=True)
+        r_deg = triangle_stats(e, orientation="degree").collect()[0]
+        r_id = triangle_stats(e, orientation="id").collect()[0]
+        assert r_deg == r_id
+        assert r_deg["n_triangles"] > 50  # fixture is not degenerate
+
+    def test_degree_orientation_is_default_and_validated(self, spark):
+        from smart_geocubes_spark.operators.graph import triangle_stats
+
+        with pytest.raises(ValueError, match="orientation"):
+            triangle_stats(_edges(spark, [(0, 1)]), orientation="random")
+
 
 class TestFunnelCounts:
     def test_min_after_and_tie_exclusion(self, spark):
@@ -571,7 +599,10 @@ class TestLabelPropagation:
         assert got[50] == 30
 
     def test_out_of_domain_ids_raise(self, spark):
+        # the guard is now IN-PLAN (raise_error in the undirected
+        # projection, so it costs no extra job) — it surfaces as a Spark
+        # runtime exception at the eager checkpoint, not a ValueError
         from smart_geocubes_spark.operators.graph import label_propagation
 
-        with pytest.raises(ValueError, match="2\\^31"):
+        with pytest.raises(Exception, match="2\\^31"):
             label_propagation(_edges(spark, [(1 << 32, 5)]), n_rounds=1).collect()

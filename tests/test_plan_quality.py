@@ -545,3 +545,36 @@ def test_label_propagation_rounds_are_hash_joins(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_triangle_degree_orientation_plan(spark):
+    """The degree orientation is two degree equi-joins + a projection
+    (audited directly — inside triangle_stats it runs under an eager
+    checkpoint, so it never shows in the census plan); the census
+    itself stays free of data-sized NLJ/Cartesian in both orientations."""
+    from pyspark.sql import functions as F
+
+    from smart_geocubes_spark.operators.graph import (
+        _degree_oriented,
+        triangle_stats,
+    )
+
+    edges = spark.range(200).select(
+        (F.col("id") % 17).alias("src"), (F.col("id") % 31).alias("dst")
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter("a != b").distinct()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    orient_plan = plan_of(_degree_oriented(und, deg))
+    assert orient_plan.count("Join") == 2  # the two degree joins
+    assert "CartesianProduct" not in orient_plan
+    for o in ("degree", "id"):
+        plan = plan_of(triangle_stats(edges, orientation=o))
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" not in plan
