@@ -87,6 +87,91 @@ BLOCK_WRITE_SCHEMA = (
     + ", chunk_key string, partition_id int, t_start_us long, t_end_us long, n_bytes long"
 )
 
+# ---------------------------------------------------------------------------
+# per-channel dtypes (reference declares per-channel encodings: float32
+# DEM + bool datamask, datasets/arcticdem.py:169-172, uint8 TCTrend
+# slopes, datasets/tctrend.py:53-57, applied at core/accessor.py:269-276).
+# STORAGE is typed (a bool datamask stored as float64 is 8x the bytes
+# and scan bandwidth at 100 TB); the COMPUTE representation stays
+# array<double> — load() widens on read with a JVM cast, so every
+# downstream operator (zonal/focal/patch merge) is dtype-oblivious.
+# Quantization happens at WRITE (cast semantics, ANSI-loud on overflow):
+# float32 rounds, int16 truncates toward zero, bool is value != 0,
+# uint8 is range-guarded [0,255] in-plan.
+# ---------------------------------------------------------------------------
+DTYPES = {  # dtype name -> parquet/Spark element type it is stored as
+    "float64": "double",
+    "float32": "float",
+    "int16": "smallint",
+    "uint8": "smallint",  # Spark has no unsigned: guarded smallint
+    "bool": "boolean",
+}
+_ELEM_NBYTES = {"double": 8, "float": 4, "smallint": 2, "boolean": 1}
+
+
+def _dtype_groups(spec: "CubeSpec") -> dict[str, list[str]]:
+    """Storage element type -> channels stored with it."""
+    out: dict[str, list[str]] = {}
+    for ch in spec.channels:
+        out.setdefault(DTYPES[spec.channel_dtype(ch)], []).append(ch)
+    return out
+
+
+def _typed_schema(base: str, elem: str) -> str:
+    return base.replace("block array<double>", f"block array<{elem}>")
+
+
+def _to_stored(spec: "CubeSpec", elem: str):
+    """double block -> stored element type (JVM codegen, per element)."""
+    if elem == "double":
+        return F.col("block")
+    if elem == "boolean":
+        return F.expr("transform(block, x -> x != 0.0D)")
+    if elem == "smallint" and any(
+        spec.channel_dtype(c) == "uint8" for c in spec.channels
+    ):
+        # uint8 range guard, in-plan and ANSI-loud (same convention as
+        # label_propagation's id-domain guard): smallint would silently
+        # admit [-32768, 32767]
+        return F.expr(
+            "transform(block, x -> CASE WHEN channel IN ("
+            + ",".join(
+                repr(c) for c in spec.channels if spec.channel_dtype(c) == "uint8"
+            )
+            + ") AND (x < 0.0D OR x > 255.0D) THEN raise_error(concat("
+            "'uint8 channel ', channel, ' value out of [0,255]: ', "
+            "CAST(x AS STRING))) ELSE CAST(x AS SMALLINT) END)"
+        )
+    return F.col("block").cast(f"array<{elem}>")
+
+
+def _to_double(elem: str):
+    """stored element type -> the double compute representation."""
+    if elem == "double":
+        return F.col("block")
+    if elem == "boolean":
+        return F.expr("transform(block, x -> IF(x, 1.0D, 0.0D))")
+    return F.col("block").cast("array<double>")
+
+
+def _block_leaf_dirs(batch_dirs: list[str]) -> dict[str, list[str]]:
+    """Element type -> parquet leaf dirs across batch dirs. A batch
+    written by an all-float64 cube keeps its part files at the top
+    level (the unchanged fast path and the pre-dtype layout); a typed
+    batch holds one ``dt-<elem>`` subdir per storage type."""
+    out: dict[str, list[str]] = {}
+    for bd in batch_dirs:
+        subs = [
+            s for s in sorted(os.listdir(bd))
+            if s.startswith("dt-")
+            and os.path.exists(os.path.join(bd, s, "_SUCCESS"))
+        ]
+        for s in subs:
+            out.setdefault(s[3:], []).append(os.path.join(bd, s))
+        if any(f.startswith("part-") for f in os.listdir(bd)):
+            out.setdefault("double", []).append(bd)
+    return out
+
 
 @dataclass(frozen=True)
 class CubeSpec:
@@ -96,6 +181,27 @@ class CubeSpec:
     grid: TileGrid
     channels: tuple[str, ...]
     time_epochs: tuple[int, ...] | None  # None => atemporal
+    # per-channel dtype names parallel to ``channels`` (reference
+    # datasets/arcticdem.py:169-172); None => every channel float64
+    dtypes: tuple[str, ...] | None = None
+
+    def __post_init__(self):
+        if self.dtypes is not None:
+            if len(self.dtypes) != len(self.channels):
+                raise ValueError(
+                    f"dtypes ({len(self.dtypes)}) must parallel channels "
+                    f"({len(self.channels)})"
+                )
+            unknown = [d for d in self.dtypes if d not in DTYPES]
+            if unknown:
+                raise ValueError(
+                    f"unknown dtypes {unknown}; supported: {sorted(DTYPES)}"
+                )
+
+    def channel_dtype(self, channel: str) -> str:
+        if self.dtypes is None:
+            return "float64"
+        return self.dtypes[self.channels.index(channel)]
 
     def to_json(self) -> dict:
         gb = self.grid.geobox
@@ -109,6 +215,7 @@ class CubeSpec:
             "chunk_px": self.grid.chunk_px,
             "channels": list(self.channels),
             "time_epochs": list(self.time_epochs) if self.time_epochs else None,
+            "dtypes": list(self.dtypes) if self.dtypes else None,
         }
 
     @staticmethod
@@ -123,6 +230,7 @@ class CubeSpec:
             grid=TileGrid(geobox=gb, chunk_px=d["chunk_px"]),
             channels=tuple(d["channels"]),
             time_epochs=tuple(d["time_epochs"]) if d["time_epochs"] else None,
+            dtypes=tuple(d["dtypes"]) if d.get("dtypes") else None,
         )
 
 
@@ -165,7 +273,7 @@ def open_spec(path: str) -> CubeSpec:
         return CubeSpec.from_json(json.load(f))
 
 
-def add_channel(path: str, name: str) -> CubeSpec:
+def add_channel(path: str, name: str, dtype: str = "float64") -> CubeSpec:
     """SCHEMA EVOLUTION: append a channel to an existing cube — the
     ALTER TABLE ADD COLUMN analog (beyond the reference, whose channel
     set is fixed at create: dataset class vars,
@@ -189,10 +297,17 @@ def add_channel(path: str, name: str) -> CubeSpec:
     spec = open_spec(path)
     if name in spec.channels:
         raise ValueError(f"channel {name!r} already exists in {path}")
+    if dtype not in DTYPES:
+        raise ValueError(f"unknown dtype {dtype!r}; supported: {sorted(DTYPES)}")
+    if spec.dtypes is None and dtype == "float64":
+        new_dtypes = None  # stays the all-double fast path
+    else:
+        new_dtypes = tuple(spec.channel_dtype(c) for c in spec.channels) + (dtype,)
     new = CubeSpec(
         grid=spec.grid,
         channels=spec.channels + (name,),
         time_epochs=spec.time_epochs,
+        dtypes=new_dtypes,
     )
     tmp = os.path.join(path, f"_meta.json.tmp.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
@@ -343,7 +458,12 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
         if os.path.exists(os.path.join(ed, "_SUCCESS")):
             dirs.append(ed)
         elif os.path.isdir(bd):
-            dirs.append(bd)
+            # typed batches keep their parquet under dt-<elem> subdirs;
+            # the EVENT_SCHEMA read never touches the block column, so
+            # every leaf reads with the one pruned schema regardless of
+            # its storage element type
+            for ds in _block_leaf_dirs([bd]).values():
+                dirs.extend(ds)
         wj = os.path.join(path, "events_write", b, "write.json")
         if os.path.exists(wj):
             with open(wj) as f:
@@ -398,13 +518,22 @@ def _record_write_events(path: str, batch_id: str, block_dir: str, job_start_us:
     import re as _re
 
     rows = []
-    for fn in sorted(os.listdir(block_dir)):
+    # typed batches keep their part files under dt-<elem> subdirs —
+    # walk one level of them alongside the top-level layout
+    names = [(fn, os.path.join(block_dir, fn)) for fn in sorted(os.listdir(block_dir))]
+    names += [
+        (fn, os.path.join(block_dir, sub, fn))
+        for sub, _ in list(names)
+        if sub.startswith("dt-") and os.path.isdir(os.path.join(block_dir, sub))
+        for fn in sorted(os.listdir(os.path.join(block_dir, sub)))
+    ]
+    for fn, fp in names:
         # strict part-file shape: a naming variant must not abort the
         # fill after the blocks already landed
         m = _re.match(r"part-(\d+)-", fn)
         if m is None:
             continue
-        st = os.stat(os.path.join(block_dir, fn))
+        st = os.stat(fp)
         rows.append(
             {
                 "partition_id": int(m.group(1)),
@@ -547,6 +676,44 @@ def _gen_blocks_factory(
     return gen
 
 
+def _write_blocks(spec: CubeSpec, plan_df: DataFrame, block_dir: str, make_blocks) -> None:
+    """Write a fill/patch's blocks, grouped by storage dtype.
+
+    ``make_blocks(plan_subset) -> BLOCK_WRITE_SCHEMA frame`` (double
+    blocks, straight from the kernel or the patch-merge pipeline).
+    All-float64 cubes take the single top-level write (the pre-dtype
+    layout, byte-identical fast path); typed cubes write one
+    ``dt-<elem>`` subdir per storage group. Channel filtering happens
+    on the PLAN rows — BEFORE the kernel (a filter above mapInPandas
+    cannot be pushed through it, so filtering blocks after generation
+    would run the kernel once per group over ALL chunks)."""
+    groups = _dtype_groups(spec)
+    if set(groups) == {"double"}:
+        make_blocks(plan_df).write.mode("overwrite").parquet(block_dir)
+        return
+    for elem, chans in sorted(groups.items()):
+        sub = make_blocks(plan_df.filter(F.col("channel").isin(chans)))
+        sub = sub.withColumn("block", _to_stored(spec, elem))
+        sub.write.mode("overwrite").parquet(os.path.join(block_dir, f"dt-{elem}"))
+    # batch-level commit marker: _block_batches requires it, and the
+    # per-subdir _SUCCESS files alone would leave the batch invisible
+    open(os.path.join(block_dir, "_SUCCESS"), "w").close()
+
+
+def _lineage_nbytes(spec: CubeSpec, n_px: int):
+    """Per-channel stored-bytes column: typed channels are the whole
+    point of the dtype system at 100 TB, so lineage accounting must not
+    keep claiming 8 bytes/px for a bool channel."""
+    if spec.dtypes is None:
+        return F.lit(8 * n_px).cast("long")
+    expr = F.lit(8 * n_px)
+    for elem, chans in _dtype_groups(spec).items():
+        expr = F.when(
+            F.col("channel").isin(chans), F.lit(_ELEM_NBYTES[elem] * n_px)
+        ).otherwise(expr)
+    return expr.cast("long")
+
+
 def materialize(
     spark: SparkSession,
     path: str,
@@ -603,12 +770,16 @@ def materialize(
             "sec": time.time() - t0,
         }
 
-    blocks = missing.mapInPandas(
-        _gen_blocks_factory(spec.grid.chunk_px), schema=BLOCK_WRITE_SCHEMA
-    )
     block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
     t_write0 = time.time_ns() // 1000
-    blocks.write.mode("overwrite").parquet(block_dir)
+    _write_blocks(
+        spec,
+        missing,
+        block_dir,
+        lambda part: part.mapInPandas(
+            _gen_blocks_factory(spec.grid.chunk_px), schema=BLOCK_WRITE_SCHEMA
+        ),
+    )
     # the per-chunk 'generate' event rows STAY inside the block files
     # (read_events column-prunes them out); the per-partition 'write'
     # rows come from the landed part files' metadata — no second events
@@ -625,7 +796,7 @@ def materialize(
     lin = (
         missing.withColumn("partition_id", F.spark_partition_id())
         .withColumn("n_rows", F.lit(1).cast("long"))
-        .withColumn("n_bytes", F.lit(8 * n_px).cast("long"))
+        .withColumn("n_bytes", _lineage_nbytes(spec, n_px))
         .select(
             "chunk_key", "tile_id", "time_idx", "channel",
             "batch_id", "partition_id", "n_rows", "n_bytes",
@@ -707,53 +878,60 @@ def materialize_patch(
     )
     n_chunks = cand.count()
     gb = spec.grid.geobox
-    new_blocks = cand.mapInPandas(
-        _gen_blocks_factory(
-            spec.grid.chunk_px,
-            patch=(gb.x0, gb.y0, gb.res, patch_bbox, value_offset),
-        ),
-        schema=BLOCK_WRITE_SCHEMA,
-    )
     # currently-visible content of exactly these chunks (winner rows,
-    # patch-bounded — the same pruned scan load() serves readers)
+    # patch-bounded — the same pruned scan load() serves readers);
+    # loaded as double regardless of storage dtype, so the merge is
+    # dtype-oblivious and re-quantization happens once at the write
     existing = load(spark, path, patch_bbox, toi_epochs).select(
         "chunk_key", F.col("block").alias("old_block")
     )
-    # "no data" is NULL-or-NaN: the kernel emits NaN, but Arrow's
-    # pandas list conversion maps NaN to null on the way into the JVM,
-    # so stored partial blocks carry NULL holes — coalesce either form
-    merged = (
-        new_blocks.join(existing, "chunk_key", "left")
-        .withColumn(
-            "block",
-            F.when(F.col("old_block").isNull(), F.col("block")).otherwise(
-                F.zip_with(
-                    "block",
-                    "old_block",
-                    lambda n, o: F.when(n.isNull() | F.isnan(n), o).otherwise(n),
-                )
+
+    def _merged(plan_part: DataFrame) -> DataFrame:
+        new_blocks = plan_part.mapInPandas(
+            _gen_blocks_factory(
+                spec.grid.chunk_px,
+                patch=(gb.x0, gb.y0, gb.res, patch_bbox, value_offset),
             ),
+            schema=BLOCK_WRITE_SCHEMA,
         )
-        .drop("old_block")
-        .select(*[f.split()[0] for f in BLOCK_WRITE_SCHEMA.split(", ")])
-        # advisory repartition (no pinned count): these rows carry the
-        # ~80 KB block arrays, so AQE sizes the write sensibly — a tiny
-        # patch lands 1-2 part files instead of N_PARTS near-empty ones
-        # (the kernel-feeding frame above IS pinned: its rows are
-        # KB-sized plan rows AQE would fold into one serial task)
-        .repartition(F.col("pt"))
-        .sortWithinPartitions("tile_id", "time_idx", "channel")
-    )
+        # "no data" is NULL-or-NaN: the kernel emits NaN, but Arrow's
+        # pandas list conversion maps NaN to null on the way into the
+        # JVM, so stored partial blocks carry NULL holes — coalesce
+        # either form
+        return (
+            new_blocks.join(existing, "chunk_key", "left")
+            .withColumn(
+                "block",
+                F.when(F.col("old_block").isNull(), F.col("block")).otherwise(
+                    F.zip_with(
+                        "block",
+                        "old_block",
+                        lambda n, o: F.when(n.isNull() | F.isnan(n), o).otherwise(n),
+                    )
+                ),
+            )
+            .drop("old_block")
+            .select(*[f.split()[0] for f in BLOCK_WRITE_SCHEMA.split(", ")])
+            # advisory repartition (no pinned count): these rows carry
+            # the ~80 KB block arrays, so AQE sizes the write sensibly —
+            # a tiny patch lands 1-2 part files instead of N_PARTS
+            # near-empty ones (the kernel-feeding frame above IS pinned:
+            # its rows are KB-sized plan rows AQE would fold into one
+            # serial task)
+            .repartition(F.col("pt"))
+            .sortWithinPartitions("tile_id", "time_idx", "channel")
+        )
+
     patch_block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
     t_write0 = time.time_ns() // 1000
-    merged.write.mode("overwrite").parquet(patch_block_dir)
+    _write_blocks(spec, cand, patch_block_dir, _merged)
     _record_write_events(path, batch_id, patch_block_dir, t_write0)
 
     n_px = spec.grid.chunk_px * spec.grid.chunk_px
     lin = (
         cand.withColumn("partition_id", F.spark_partition_id())
         .withColumn("n_rows", F.lit(1).cast("long"))
-        .withColumn("n_bytes", F.lit(8 * n_px).cast("long"))
+        .withColumn("n_bytes", _lineage_nbytes(spec, n_px))
         .select(
             "chunk_key", "tile_id", "time_idx", "channel",
             "batch_id", "partition_id", "n_rows", "n_bytes",
@@ -904,9 +1082,29 @@ def load(
         return _with_roi_idx(
             spark.createDataFrame([], BLOCK_SCHEMA + ", chunk_key string").select(*cols)
         )
-    df = spark.read.schema(BLOCK_SCHEMA).parquet(*batches).filter(
-        F.col("tile_id").isin(tile_ids)
-    )
+    # per-dtype leaf scan: typed batches store one dt-<elem> subdir per
+    # storage group; each scan reads its own typed schema and widens to
+    # the array<double> compute representation with a JVM cast, then
+    # the groups union (filters below push through the union into every
+    # scan). All-float64 cubes hit exactly one scan — the pre-dtype plan.
+    leafs = _block_leaf_dirs(batches)
+    if not leafs:  # committed dirs with no data files: same as no batches
+        cols = ["chunk_key", "batch_id"] + [
+            f.split()[0] for f in BLOCK_SCHEMA.split(", ") if f.split()[0] != "batch_id"
+        ]
+        return _with_roi_idx(
+            spark.createDataFrame([], BLOCK_SCHEMA + ", chunk_key string").select(*cols)
+        )
+    parts = []
+    for elem in sorted(leafs):
+        part = spark.read.schema(_typed_schema(BLOCK_SCHEMA, elem)).parquet(
+            *leafs[elem]
+        )
+        parts.append(part.withColumn("block", _to_double(elem)))
+    df = parts[0]
+    for p_ in parts[1:]:
+        df = df.unionByName(p_)
+    df = df.filter(F.col("tile_id").isin(tile_ids))
     if channels is not None:
         df = df.filter(F.col("channel").isin(list(channels)))
     if toi_epochs is not None and spec.time_epochs is not None:
@@ -998,32 +1196,45 @@ def compact(spark: SparkSession, path: str) -> dict:
         lineage.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     ).localCheckpoint(eager=True)  # feeds blocks semi-join AND the new lineage
 
-    blocks = spark.read.schema(BLOCK_WRITE_SCHEMA).parquet(*_block_batches(path))
-    # blocks written by the pre-event-log format carry no chunk_key
-    # column (schema read fills NULL, and NULL never semi-joins):
-    # recompute it so legacy batches compact instead of silently
-    # vanishing from the rewritten set
-    blocks = blocks.withColumn(
-        "chunk_key",
-        F.coalesce(
-            F.col("chunk_key"),
-            F.concat_ws(
-                "-", F.col("time_idx"), F.col("tile_y"), F.col("tile_x"), F.col("channel")
-            ),
-        ),
+    # per-dtype leaf groups: each storage element type is read with its
+    # typed schema, semi-joined, and rewritten AS STORED — compaction
+    # never round-trips typed blocks through double
+    leafs = _block_leaf_dirs(_block_batches(path))
+    new_dir = os.path.join(path, "blocks", f"batch={new_id}")
+    typed_layout = sorted(leafs) != ["double"] or not all(
+        os.path.basename(d).startswith("batch=") for d in leafs.get("double", [])
     )
-    # NO broadcast hint: winners is one row per visible chunk — cube-
-    # sized, the exact thing load() refuses to force-broadcast (its ROI
-    # prune is what makes its broadcast safe; compact has no ROI). Let
-    # Catalyst/AQE pick: shuffled semi-join at scale, auto-broadcast
-    # only when the registry actually fits.
-    visible = blocks.join(
-        winners.select("chunk_key", "batch_id"),
-        ["chunk_key", "batch_id"],
-        "left_semi",
-    ).withColumn("batch_id", F.lit(new_id))
-    bdir = os.path.join(path, "blocks")
-    visible.write.mode("overwrite").parquet(os.path.join(bdir, f"batch={new_id}"))
+    for elem in sorted(leafs):
+        blocks = spark.read.schema(_typed_schema(BLOCK_WRITE_SCHEMA, elem)).parquet(
+            *leafs[elem]
+        )
+        # blocks written by the pre-event-log format carry no chunk_key
+        # column (schema read fills NULL, and NULL never semi-joins):
+        # recompute it so legacy batches compact instead of silently
+        # vanishing from the rewritten set
+        blocks = blocks.withColumn(
+            "chunk_key",
+            F.coalesce(
+                F.col("chunk_key"),
+                F.concat_ws(
+                    "-", F.col("time_idx"), F.col("tile_y"), F.col("tile_x"), F.col("channel")
+                ),
+            ),
+        )
+        # NO broadcast hint: winners is one row per visible chunk — cube-
+        # sized, the exact thing load() refuses to force-broadcast (its ROI
+        # prune is what makes its broadcast safe; compact has no ROI). Let
+        # Catalyst/AQE pick: shuffled semi-join at scale, auto-broadcast
+        # only when the registry actually fits.
+        visible = blocks.join(
+            winners.select("chunk_key", "batch_id"),
+            ["chunk_key", "batch_id"],
+            "left_semi",
+        ).withColumn("batch_id", F.lit(new_id))
+        target = os.path.join(new_dir, f"dt-{elem}") if typed_layout else new_dir
+        visible.write.mode("overwrite").parquet(target)
+    if typed_layout:
+        open(os.path.join(new_dir, "_SUCCESS"), "w").close()
 
     # event history: copy every committed event row (original batch_id
     # values preserved in the COLUMN; the dir is the visibility unit)

@@ -610,3 +610,157 @@ class TestChannelProjection:
         pushed = [seg[:300] for seg in plan.split("PushedFilters: ")[1:]]
         with_ch = [s for s in pushed if "channel" in s.split("]", 1)[0]]
         assert len(with_ch) >= 2, f"channel not pushed to both scans: {pushed}"
+
+
+class TestChannelDtypes:
+    """Per-channel storage dtypes (reference datasets/arcticdem.py:169-172:
+    float32 dem + bool datamask; tctrend.py:53-57: uint8 slopes). Storage
+    is typed; load() always returns array<double>."""
+
+    DT_SPEC = dict(
+        grid=SMALL_GRID,
+        channels=("dem", "datamask", "class16"),
+        dtypes=("float32", "bool", "int16"),
+        time_epochs=None,
+    )
+
+    def _typed_cube(self, tmp_path):
+        path = str(tmp_path / "typed_cube")
+        create_cube(path, CubeSpec(**self.DT_SPEC))
+        return path
+
+    def test_spec_validation(self, tmp_path):
+        with pytest.raises(ValueError, match="parallel"):
+            CubeSpec(grid=SMALL_GRID, channels=("a", "b"), dtypes=("bool",),
+                     time_epochs=None)
+        with pytest.raises(ValueError, match="unknown dtypes"):
+            CubeSpec(grid=SMALL_GRID, channels=("a",), dtypes=("float128",),
+                     time_epochs=None)
+
+    def test_dtypes_survive_meta_roundtrip(self, tmp_path):
+        path = self._typed_cube(tmp_path)
+        spec = open_spec(path)
+        assert spec.dtypes == ("float32", "bool", "int16")
+        assert spec.channel_dtype("datamask") == "bool"
+
+    def test_fill_load_quantization_golden(self, spark, tmp_path):
+        import numpy as np
+
+        path = self._typed_cube(tmp_path)
+        m = materialize(spark, path, ROI_A)
+        assert m["written"] == 27  # 9 tiles x 3 channels
+        df = load(spark, path, ROI_A)
+        # compute representation is uniformly double, whatever the storage
+        assert dict(df.dtypes)["block"] == "array<double>"
+        assert df.count() == 27
+        rows = df.filter((F.col("tile_y") == 3) & (F.col("tile_x") == 2)).collect()
+        by_ch = {r["channel"]: np.array(r["block"]) for r in rows}
+        formula = 3 * 1000.0 + 2 + 0.5 * np.arange(100 * 100)
+        # float32 rounds to nearest representable, then widens back
+        assert np.array_equal(by_ch["dem"], formula.astype(np.float32).astype(np.float64))
+        # bool stores value != 0 -> loads as exactly 0.0/1.0
+        assert np.array_equal(by_ch["datamask"], (formula != 0.0).astype(np.float64))
+        # int16 truncates toward zero
+        assert np.array_equal(by_ch["class16"], np.trunc(formula))
+
+    def test_typed_storage_schema_and_bool_bitmap(self, spark, tmp_path):
+        """Pin the STORAGE guarantee: block columns land with the typed
+        parquet physical type (BOOLEAN/FLOAT/INT32-as-smallint — parquet
+        has no 16-bit physical type), and the bool channel's block
+        column is bitmap-sized — orders of magnitude under a double
+        channel. (Total file size is fixture-hostile: snappy compresses
+        the synthetic double RAMP better than the float32 ramp, so the
+        durable claims are the schema and the bool bandwidth, plus the
+        lineage byte accounting pinned below.)"""
+        import pyarrow.parquet as pq
+
+        def block_col_bytes(cube_path, sub):
+            total = 0
+            d = None
+            for root, dirs, files in os.walk(os.path.join(cube_path, "blocks")):
+                if os.path.basename(root) == sub or (sub is None and "dt-" not in root):
+                    for f in files:
+                        if not f.startswith("part-"):
+                            continue
+                        pf = pq.ParquetFile(os.path.join(root, f))
+                        for rg in range(pf.metadata.num_row_groups):
+                            g = pf.metadata.row_group(rg)
+                            for c in range(g.num_columns):
+                                col = g.column(c)
+                                if col.path_in_schema.startswith("block."):
+                                    total += col.total_compressed_size
+                                    d = col.physical_type
+            return total, d
+
+        typed = self._typed_cube(tmp_path)
+        materialize(spark, typed, ROI_A)
+        plain = str(tmp_path / "plain_cube")
+        create_cube(plain, CubeSpec(**{**self.DT_SPEC, "dtypes": None}))
+        materialize(spark, plain, ROI_A)
+        bool_bytes, bool_t = block_col_bytes(typed, "dt-boolean")
+        float_bytes, float_t = block_col_bytes(typed, "dt-float")
+        plain_bytes, plain_t = block_col_bytes(plain, None)
+        assert (bool_t, float_t, plain_t) == ("BOOLEAN", "FLOAT", "DOUBLE")
+        per_plain_channel = plain_bytes / 3  # 3 channels share the files
+        assert bool_bytes < 0.05 * per_plain_channel, (bool_bytes, plain_bytes)
+
+    def test_lineage_accounts_typed_bytes(self, spark, tmp_path):
+        path = self._typed_cube(tmp_path)
+        materialize(spark, path, ROI_A)
+        by_ch = {
+            r["channel"]: r["b"]
+            for r in read_lineage(spark, path)
+            .groupBy("channel").agg(F.max("n_bytes").alias("b")).collect()
+        }
+        n_px = 100 * 100
+        assert by_ch == {"dem": 4 * n_px, "datamask": 1 * n_px, "class16": 2 * n_px}
+
+    def test_patch_merge_and_compact_on_typed_cube(self, spark, tmp_path):
+        import numpy as np
+
+        from smart_geocubes_spark.plans.materialize import compact, materialize_patch
+
+        path = self._typed_cube(tmp_path)
+        materialize(spark, path, ROI_A)
+        before = load(spark, path, ROI_A).count()
+        # a patch partially covering one tile must keep existing pixels
+        materialize_patch(spark, path, (2.0, 16.0, 2.5, 17.0), "p1", value_offset=0.0)
+        df = load(spark, path, ROI_A)
+        assert df.count() == before  # same chunk set, shadowed rewrite
+        blk = np.array(
+            df.filter(
+                (F.col("tile_y") == 3) & (F.col("tile_x") == 2) & (F.col("channel") == "dem")
+            ).collect()[0]["block"]
+        )
+        formula = (3 * 1000.0 + 2 + 0.5 * np.arange(100 * 100)).astype(np.float32)
+        assert np.array_equal(blk, formula.astype(np.float64))  # no holes punched
+        compact(spark, path)
+        after = load(spark, path, ROI_A)
+        assert after.count() == before
+        assert dict(after.dtypes)["block"] == "array<double>"
+
+    def test_uint8_overflow_raises_in_plan(self, spark, tmp_path):
+        path = str(tmp_path / "u8cube")
+        create_cube(
+            path,
+            CubeSpec(grid=SMALL_GRID, channels=("mask8",), dtypes=("uint8",),
+                     time_epochs=None),
+        )
+        # the synthetic fill formula exceeds 255 on tile_y>=1 rows ->
+        # the in-plan range guard must abort the fill loudly
+        with pytest.raises(Exception, match="out of \\[0,255\\]"):
+            materialize(spark, path, ROI_A)
+
+    def test_add_channel_with_dtype(self, spark, tmp_path):
+        from smart_geocubes_spark.plans.materialize import add_channel
+
+        path = self._typed_cube(tmp_path)
+        spec2 = add_channel(path, "wet", dtype="bool")
+        assert spec2.dtypes == ("float32", "bool", "int16", "bool")
+        # adding a typed channel to an all-double cube materializes dtypes
+        plain = str(tmp_path / "plain2")
+        create_cube(plain, CubeSpec(grid=SMALL_GRID, channels=("dem",), time_epochs=None))
+        s = add_channel(plain, "datamask", dtype="bool")
+        assert s.dtypes == ("float64", "bool")
+        with pytest.raises(ValueError, match="unknown dtype"):
+            add_channel(plain, "x", dtype="float128")
