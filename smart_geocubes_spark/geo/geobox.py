@@ -130,6 +130,26 @@ class TileGrid:
         )
         return np.column_stack([txs.ravel(), tys.ravel()])
 
+    def tiles_overlapping_polygon(
+        self, poly_x: np.ndarray, poly_y: np.ndarray
+    ) -> np.ndarray:
+        """Tiles whose rectangle intersects the polygon (reference
+        ``load()`` geometry branch, ``core/accessor.py:331-358``):
+        bbox-enumerate candidates, then exact rect x polygon refine.
+        Driver-side numpy — the tile set is metadata-sized (bounded by
+        the ROI, never the cube). Returns int64 array (n, 2)."""
+        from smart_geocubes_spark.geo.pip import rects_intersect_polygon
+
+        cand = self.tiles_overlapping_bbox(
+            float(np.min(poly_x)), float(np.min(poly_y)),
+            float(np.max(poly_x)), float(np.max(poly_y)),
+        )
+        if len(cand) == 0:
+            return cand
+        minx, miny, maxx, maxy = self.tile_bounds(cand[:, 0], cand[:, 1])
+        keep = rects_intersect_polygon(minx, miny, maxx, maxy, poly_x, poly_y)
+        return cand[keep]
+
 
 # The two catalog-style grids our fixtures mirror (reference extents:
 # ArcticDEM EPSG:3413 res 32 m `datasets/arcticdem.py:333`; TCTrend

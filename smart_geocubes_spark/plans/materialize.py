@@ -571,10 +571,51 @@ def event_durations(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _roi_items(roi) -> tuple[list, bool]:
+    """Normalize the engine's ROI argument (reference ``load()``
+    accepts ``Geometry | GeoBox | GeoDataFrame``,
+    ``core/accessor.py:331-358``). Accepted spellings:
+
+    - 4-float tuple — a bbox (minx, miny, maxx, maxy);
+    - WKT ``POLYGON ((x y, ...))`` string, or a sequence of (x, y)
+      vertex pairs — a single-ring polygon;
+    - a LIST of any of the above — the GeoDataFrame batch branch.
+
+    Returns (items, is_batch). A list whose elements are all (x, y)
+    pairs is ONE polygon, not a batch of 2-float rois (a bbox is
+    4 floats, so the shapes cannot collide)."""
+    if isinstance(roi, list):
+        if roi and all(
+            isinstance(e, (tuple, list))
+            and len(e) == 2
+            and all(isinstance(v, (int, float)) for v in e)
+            for e in roi
+        ):
+            return [roi], False
+        return roi, True
+    return [roi], False
+
+
+def _item_tiles(grid: TileGrid, item) -> np.ndarray:
+    """One ROI item -> (n, 2) tile array. Polygon items refine the
+    bbox candidates with the exact rect x polygon test driver-side
+    (the tile set is metadata-sized; ``geo/pip.py`` kernel)."""
+    if (
+        isinstance(item, tuple)
+        and len(item) == 4
+        and all(isinstance(v, (int, float)) for v in item)
+    ):
+        return grid.tiles_overlapping_bbox(*item)
+    from smart_geocubes_spark.geo.pip import parse_polygon
+
+    px, py = parse_polygon(item)
+    return grid.tiles_overlapping_polygon(px, py)
+
+
 def candidate_chunks(
     spark: SparkSession,
     spec: CubeSpec,
-    roi_bbox: tuple[float, float, float, float] | list[tuple[float, float, float, float]],
+    roi_bbox,
     toi_epochs: list[int] | None = None,
 ) -> DataFrame:
     """Tile-coverage enumeration x TOI x channels (reference
@@ -582,16 +623,18 @@ def candidate_chunks(
     ``accessors/gee.py:109-112``; temporal cross product
     ``accessors/gee.py:128-143``).
 
-    ``roi_bbox`` may be a LIST of bboxes — the reference's GeoDataFrame
-    branch (``core/accessor.py:400-426``: a batch of query geometries):
-    tile sets are unioned and deduped, so one fill covers them all."""
+    ``roi_bbox`` takes every :func:`_roi_items` spelling — bbox,
+    polygon (WKT or vertex pairs), or a list of them (the reference's
+    GeoDataFrame branch, ``core/accessor.py:400-426``): tile sets are
+    unioned and deduped, so one fill covers them all. A concave
+    polygon fills strictly fewer chunks than its bbox."""
     if toi_epochs is not None and spec.time_epochs is None:
         # shared-layer guard (reference assert_temporal_cube): every
         # entry point — fill, load, read_snapshot — must reject a TOI
         # on an atemporal cube rather than silently ignore it
         raise ValueError("TOI given for an atemporal cube")
-    rois = roi_bbox if isinstance(roi_bbox, list) else [roi_bbox]
-    tile_arrays = [spec.grid.tiles_overlapping_bbox(*r) for r in rois]
+    rois, _ = _roi_items(roi_bbox)
+    tile_arrays = [_item_tiles(spec.grid, r) for r in rois]
     tiles = np.unique(np.concatenate([t for t in tile_arrays if len(t)] or
                                      [np.empty((0, 2), dtype=np.int64)]), axis=0)
     if len(tiles) == 0:
@@ -717,7 +760,7 @@ def _lineage_nbytes(spec: CubeSpec, n_px: int):
 def materialize(
     spark: SparkSession,
     path: str,
-    roi_bbox: tuple[float, float, float, float] | list[tuple[float, float, float, float]],
+    roi_bbox,  # bbox | polygon (WKT / vertex pairs) | list of those
     toi_epochs: list[int] | None = None,
     fail_after_blocks: bool = False,
 ) -> dict:
@@ -987,7 +1030,7 @@ def snapshots(path: str) -> list[dict]:
 def load(
     spark: SparkSession,
     path: str,
-    roi_bbox: tuple[float, float, float, float] | list[tuple[float, float, float, float]],
+    roi_bbox,  # bbox | polygon (WKT / vertex pairs) | list of those
     toi_epochs: list[int] | None = None,
     as_of_batch: str | None = None,
     channels: list[str] | None = None,
@@ -1040,16 +1083,16 @@ def load(
         # a legacy-ordered list carries mtime ties
         allowed = set(ids[: ids.index(as_of_batch) + 1])
     nx = spec.grid.n_tiles_x
-    rois = roi_bbox if isinstance(roi_bbox, list) else None
-    if rois is None:
-        tiles = spec.grid.tiles_overlapping_bbox(*roi_bbox)
+    items, is_batch = _roi_items(roi_bbox)
+    if not is_batch:
+        tiles = _item_tiles(spec.grid, items[0])
         tile_ids = [int(ty * nx + tx) for tx, ty in tiles]
         roi_pairs = None
     else:
         roi_pairs = [
             (int(ty * nx + tx), i)
-            for i, r in enumerate(rois)
-            for tx, ty in spec.grid.tiles_overlapping_bbox(*r)
+            for i, r in enumerate(items)
+            for tx, ty in _item_tiles(spec.grid, r)
         ]
         tile_ids = sorted({t for t, _ in roi_pairs})
     if not tile_ids:

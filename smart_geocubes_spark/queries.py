@@ -527,6 +527,80 @@ WHERE NOT (tile_id % 2 = 0 AND channel = 'dem')
 """
 
 
+# Concave U-shaped ROI over the arctic grid (reference load() geometry
+# branch, core/accessor.py:331-358): every vertex is an exact binary
+# double, and the notch edges sit mid-tile so no candidate rect merely
+# touches the polygon boundary. Its bbox covers 11 x 6 tiles; the notch
+# excludes the 4 x 3 interior block -> 54 tiles, strictly fewer.
+_POLY_ROI = [
+    (-9.75, 62.25), (4.5, 62.25), (4.5, 69.75), (1.125, 69.75),
+    (1.125, 64.875), (-6.375, 64.875), (-6.375, 69.75), (-9.75, 69.75),
+]
+
+
+def q_chunk_plan_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk plan for a POLYGON ROI: bbox-enumerate candidate tiles,
+    exact rect x polygon refine (geo/pip.py rects_intersect_polygon,
+    driver-side — the tile set is metadata-sized), cross channels.
+    The oracle re-derives the identical tile set in pure SQL through
+    the shared predicate generator (rect_polygon_predicate_sql), so
+    the numpy kernel and its SQL mirror are pinned against each other
+    by the driver's value hash."""
+    import numpy as _n
+    import pandas as _pd
+
+    tiles = GRID.tiles_overlapping_polygon(
+        _n.array([p[0] for p in _POLY_ROI]), _n.array([p[1] for p in _POLY_ROI])
+    )
+    pdf = _pd.DataFrame({"tile_x": tiles[:, 0], "tile_y": tiles[:, 1]})
+    pdf["tile_id"] = pdf["tile_y"] * GRID.n_tiles_x + pdf["tile_x"]
+    tdf = spark.createDataFrame(pdf[["tile_id", "tile_x", "tile_y"]])
+    ch = spark.createDataFrame(
+        _pd.DataFrame({"channel": [c for c, _ in _ZONAL_CHANNELS]})
+    )
+    return tdf.crossJoin(F.broadcast(ch))
+
+
+def _chunk_plan_polygon_sql() -> str:
+    import numpy as _n
+
+    from smart_geocubes_spark.geo.pip import rect_polygon_predicate_sql
+
+    px = _n.array([p[0] for p in _POLY_ROI])
+    py = _n.array([p[1] for p in _POLY_ROI])
+    cand = GRID.tiles_overlapping_bbox(
+        float(px.min()), float(py.min()), float(px.max()), float(py.max())
+    )
+    bx0, bx1 = int(cand[:, 0].min()), int(cand[:, 0].max())
+    by0, by1 = int(cand[:, 1].min()), int(cand[:, 1].max())
+    gb, t = GRID.geobox, GRID.tile_size
+    pred = rect_polygon_predicate_sql(px, py, "minx", "miny", "maxx", "maxy")
+    # bound expressions mirror TileGrid.tile_bounds ASSOCIATIVITY
+    # (miny = maxy - t, maxx = minx + t) — exact doubles either way on
+    # this grid, but parity must not depend on that
+    return f"""WITH t AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+tb AS (
+  SELECT tx, ty, ty * {GRID.n_tiles_x} + tx AS tile_id,
+         CAST({gb.x0!r} + tx * {t!r} AS DOUBLE) AS minx,
+         CAST({gb.y0!r} - ty * {t!r} - {t!r} AS DOUBLE) AS miny,
+         CAST({gb.x0!r} + tx * {t!r} + {t!r} AS DOUBLE) AS maxx,
+         CAST({gb.y0!r} - ty * {t!r} AS DOUBLE) AS maxy
+  FROM t
+  WHERE tx BETWEEN {bx0} AND {bx1} AND ty BETWEEN {by0} AND {by1}
+)
+SELECT tile_id, tx AS tile_x, ty AS tile_y, channel
+FROM tb CROSS JOIN (VALUES ('dem'), ('slope')) ch(channel)
+WHERE {pred}
+"""
+
+
+SQL_CHUNK_PLAN_POLYGON = _chunk_plan_polygon_sql()
+
+
 def q_event_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-patch EVENT LOG (reference core/backend.py:23-28,59-93): fill
     a fresh cube over ZONAL_ROIS[0], then project the committed event
@@ -3888,6 +3962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_histogram": q_zonal_histogram,
     "pyramid_overview": q_pyramid_overview,
     "chunk_plan_antijoin": q_chunk_plan,
+    "chunk_plan_polygon": q_chunk_plan_polygon,
     "event_durations": q_event_durations,
     "antimeridian_norm": q_antimeridian,
     "dedup_exact": q_dedup_exact,
@@ -3974,6 +4049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # a green row in some CORRECTNESS_r*.json.  The repo's replica gate
 # (tests/test_oracle_parity.py) always runs ALL entries regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    "chunk_plan_polygon",
     "hits_hosts",
     "stream_session_windows",
     "cms_heavy_hitters",
@@ -4048,6 +4124,7 @@ ORACLES: dict[str, str] = {
     "zonal_histogram": SQL_ZONAL_HISTOGRAM,
     "pyramid_overview": SQL_PYRAMID_OVERVIEW,
     "chunk_plan_antijoin": SQL_CHUNK_PLAN,
+    "chunk_plan_polygon": SQL_CHUNK_PLAN_POLYGON,
     "event_durations": SQL_EVENT_DURATIONS,
     "antimeridian_norm": SQL_ANTIMERIDIAN,
     "dedup_exact": SQL_DEDUP_EXACT,

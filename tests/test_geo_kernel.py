@@ -204,6 +204,106 @@ class TestPIP:
         assert (got == want).all()
 
 
+class TestRectPolygon:
+    """rect x polygon intersection — the polygon-ROI refine kernel
+    (geo/pip.py) and its generated-SQL mirror (the DuckDB oracle of
+    chunk_plan_polygon)."""
+
+    U_X = np.array([0.0, 10.0, 10.0, 7.0, 7.0, 3.0, 3.0, 0.0])
+    U_Y = np.array([0.0, 0.0, 10.0, 10.0, 3.5, 3.5, 10.0, 10.0])
+
+    def test_known_configurations(self):
+        from smart_geocubes_spark.geo.pip import rects_intersect_polygon
+
+        rects = np.array(
+            [
+                (4.0, 5.0, 6.0, 6.0),    # fully in the notch -> out
+                (4.0, 1.0, 6.0, 2.0),    # inside bottom bar -> in
+                (2.0, 5.0, 4.0, 6.0),    # straddles left notch wall -> in
+                (-5.0, -5.0, 15.0, 15.0),  # polygon fully inside rect -> in
+                (11.0, 0.0, 12.0, 10.0),   # right of polygon -> out
+                (-2.0, -2.0, -1.0, -1.0),  # below-left, bbox-disjoint -> out
+                (10.0, 10.0, 12.0, 12.0),  # touches corner vertex -> in
+            ]
+        )
+        got = rects_intersect_polygon(
+            rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3], self.U_X, self.U_Y
+        )
+        assert got.tolist() == [False, True, True, True, False, False, True]
+
+    def test_numpy_matches_generated_sql(self):
+        """The load-bearing property: the numpy kernel and the SQL the
+        oracle runs must agree on EVERY rect, not just the query's
+        grid — randomized cross-check through DuckDB."""
+        import duckdb
+
+        from smart_geocubes_spark.geo.pip import (
+            rect_polygon_predicate_sql,
+            rects_intersect_polygon,
+        )
+
+        rng = np.random.default_rng(7)
+        n = 4000
+        x0 = rng.uniform(-3, 11, n)
+        y0 = rng.uniform(-3, 11, n)
+        w = rng.uniform(0.1, 4, n)
+        h = rng.uniform(0.1, 4, n)
+        minx, miny, maxx, maxy = x0, y0, x0 + w, y0 + h
+        want = rects_intersect_polygon(minx, miny, maxx, maxy, self.U_X, self.U_Y)
+        pred = rect_polygon_predicate_sql(
+            self.U_X, self.U_Y, "minx", "miny", "maxx", "maxy"
+        )
+        con = duckdb.connect()
+        import pandas as pd
+
+        con.register(
+            "rects",
+            pd.DataFrame(
+                {"i": np.arange(n), "minx": minx, "miny": miny,
+                 "maxx": maxx, "maxy": maxy}
+            ),
+        )
+        got = (
+            con.execute(f"SELECT ({pred}) AS hit FROM rects ORDER BY i")
+            .fetchdf()["hit"].to_numpy()
+        )
+        assert (got == want).all()
+        assert 0 < want.sum() < n  # fixture exercises both outcomes
+
+    def test_parse_polygon_wkt_and_pairs(self):
+        from smart_geocubes_spark.geo.pip import parse_polygon
+
+        wx, wy = parse_polygon("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        lx, ly = parse_polygon([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)])
+        assert wx.tolist() == lx.tolist() and wy.tolist() == ly.tolist()
+        with pytest.raises(ValueError, match="single-ring"):
+            parse_polygon("MULTIPOLYGON (((0 0, 1 0, 1 1)))")
+        with pytest.raises(ValueError, match=">= 3"):
+            parse_polygon([(0.0, 0.0), (1.0, 1.0)])
+        with pytest.raises(ValueError, match="zero-length"):
+            parse_polygon([(0.0, 0.0), (0.0, 0.0), (1.0, 1.0), (1.0, 0.0)])
+
+    def test_grid_polygon_enumeration_concave(self):
+        """Concave ROI keeps strictly fewer tiles than its bbox, and
+        every kept/dropped decision matches the exact rect test."""
+        grid = arctic_4326_grid()
+        poly = [
+            (-9.75, 62.25), (4.5, 62.25), (4.5, 69.75), (1.125, 69.75),
+            (1.125, 64.875), (-6.375, 64.875), (-6.375, 69.75), (-9.75, 69.75),
+        ]
+        px = np.array([p[0] for p in poly])
+        py = np.array([p[1] for p in poly])
+        got = grid.tiles_overlapping_polygon(px, py)
+        bbox = grid.tiles_overlapping_bbox(
+            px.min(), py.min(), px.max(), py.max()
+        )
+        assert len(bbox) == 66 and len(got) == 54  # 4x3 notch excluded
+        got_set = {tuple(t) for t in got}
+        # notch interior tiles (tx 116..119, ty 9..11) are the dropped ones
+        dropped = {(tx, ty) for tx in range(116, 120) for ty in range(9, 12)}
+        assert {tuple(t) for t in bbox} - got_set == dropped
+
+
 class TestExtractor:
     def test_golden_bytes(self):
         html = (

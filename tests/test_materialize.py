@@ -612,6 +612,70 @@ class TestChannelProjection:
         assert len(with_ch) >= 2, f"channel not pushed to both scans: {pushed}"
 
 
+class TestPolygonROI:
+    """Geometry ROI at the cube API (reference load() accepts
+    Geometry | GeoBox | GeoDataFrame, core/accessor.py:331-358): a
+    concave polygon fills/loads strictly fewer chunks than its bbox —
+    the bbox path over-fetches exactly the notch tiles."""
+
+    # L-shape over tiles tx 1..4, ty 1..4; top-right 2x2 notch excluded
+    POLY = [
+        (1.25, 15.25), (4.75, 15.25), (4.75, 16.75),
+        (2.75, 16.75), (2.75, 18.75), (1.25, 18.75),
+    ]
+    WKT = (
+        "POLYGON ((1.25 15.25, 4.75 15.25, 4.75 16.75, 2.75 16.75, "
+        "2.75 18.75, 1.25 18.75, 1.25 15.25))"
+    )
+    BBOX = (1.25, 15.25, 4.75, 18.75)
+    NOTCH = {(tx, ty) for tx in (3, 4) for ty in (1, 2)}
+
+    def test_fill_strictly_fewer_chunks_than_bbox(self, spark, cube):
+        m = materialize(spark, cube, self.POLY)
+        assert m["written"] == 12 * 2  # 16-tile bbox minus 2x2 notch
+        lin = read_lineage(spark, cube)
+        filled = {
+            (r["tile_id"] % 20, r["tile_id"] // 20)
+            for r in lin.select("tile_id").distinct().collect()
+        }
+        assert len(filled) == 12
+        assert filled.isdisjoint(self.NOTCH)
+        # resume with the BBOX: only the notch tiles remain to write
+        m2 = materialize(spark, cube, self.BBOX)
+        assert m2["written"] == 4 * 2
+
+    def test_load_polygon_golden(self, spark, cube):
+        import numpy as np
+
+        materialize(spark, cube, self.BBOX)
+        df = load(spark, cube, self.POLY)
+        assert df.select("tile_id").distinct().count() == 12
+        blk = np.array(
+            df.filter(
+                (F.col("tile_y") == 2) & (F.col("tile_x") == 2)
+                & (F.col("channel") == "dem")
+            ).collect()[0]["block"]
+        )
+        # same synthetic formula every golden-load test pins
+        assert np.array_equal(blk, 2 * 1000.0 + 2 + 0.5 * np.arange(100 * 100))
+        with pytest.raises(ValueError, match="does not intersect"):
+            load(spark, cube, [(50.0, -50.0), (51.0, -50.0), (51.0, -49.0)])
+
+    def test_wkt_equals_pairs_and_batch_list(self, spark, cube):
+        materialize(spark, cube, self.WKT)  # WKT accepted at fill too
+        a = load(spark, cube, self.WKT).select("chunk_key")
+        b = load(spark, cube, self.POLY).select("chunk_key")
+        assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+        # batch branch: polygon and bbox items mix; roi_idx maps back
+        batch = load(spark, cube, [self.POLY, (1.25, 15.25, 2.75, 16.75)])
+        per_roi = {
+            r["roi_idx"]: r["n"]
+            for r in batch.groupBy("roi_idx")
+            .agg(F.count_distinct("tile_id").alias("n")).collect()
+        }
+        assert per_roi == {0: 12, 1: 4}
+
+
 class TestChannelDtypes:
     """Per-channel storage dtypes (reference datasets/arcticdem.py:169-172:
     float32 dem + bool datamask; tctrend.py:53-57: uint8 slopes). Storage
