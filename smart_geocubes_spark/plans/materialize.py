@@ -650,6 +650,12 @@ def candidate_chunks(
         idxs = [list(spec.time_epochs).index(t) for t in sel]
         tdf = tdf.crossJoin(
             spark.createDataFrame(pd.DataFrame({"time_idx": np.array(idxs, dtype=np.int32)}))
+            # pandas->Spark conversion widens int32 to LONG; without
+            # this cast temporal lineage parquet lands INT64 under a
+            # LINEAGE_SCHEMA that declares int — latent until a reader
+            # actually materializes the column (every anti-join/count
+            # path prunes it), then FAILED_READ_FILE on the scan
+            .withColumn("time_idx", F.col("time_idx").cast("int"))
         )
     ch = spark.createDataFrame(pd.DataFrame({"channel": list(spec.channels)}))
     out = tdf.crossJoin(F.broadcast(ch))

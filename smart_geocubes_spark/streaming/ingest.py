@@ -35,7 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from smart_geocubes_spark.plans.materialize import materialize
+from smart_geocubes_spark.plans.materialize import materialize, open_spec
+from smart_geocubes_spark.toi import normalize_toi
 
 # a micro-batch carrying more distinct ROIs than this is not a
 # control-plane stream any more — fail loudly instead of silently
@@ -53,9 +54,20 @@ def stream_fill_requests(
     """Drain fill requests (rows: minx/miny/maxx/maxy) into the cube
     with availableNow, one ``materialize`` run per micro-batch.
 
-    Returns the per-micro-batch materialize summaries (in trigger
-    order). Chunks requested by several batches are filled exactly
-    once — later batches see them in lineage and skip.
+    PER-REQUEST TOI (the reference's request unit is one (aoi, toi)
+    call, ``core/accessor.py:331``): request rows may carry nullable
+    ``toi_start`` / ``toi_end`` epoch columns. Each micro-batch is
+    grouped by that pair; every group runs its own ``materialize``
+    with the TOI normalized onto the cube axis via
+    :func:`smart_geocubes_spark.toi.normalize_toi` (slice semantics —
+    a null end is open). Rows with BOTH columns null — and every row
+    of a stream without the columns — fall back to the
+    ``toi_epochs`` argument, so pre-TOI request streams are
+    unchanged.
+
+    Returns the per-materialize summaries (trigger order, then TOI
+    group order). Chunks requested by several batches are filled
+    exactly once — later batches see them in lineage and skip.
     """
     schema = spark.read.parquet(requests_parquet_dir).schema
     src = (
@@ -63,23 +75,35 @@ def stream_fill_requests(
         .option("maxFilesPerTrigger", 1)
         .parquet(requests_parquet_dir)
     )
+    spec = open_spec(cube_path)
     results: list[dict] = []
 
     def sink(batch_df, batch_id: int) -> None:
-        reqs = batch_df.select("minx", "miny", "maxx", "maxy").distinct()
-        rois = [
-            (r.minx, r.miny, r.maxx, r.maxy)
-            for r in reqs.limit(MAX_REQUESTS_PER_BATCH + 1).collect()
-        ]
-        if len(rois) > MAX_REQUESTS_PER_BATCH:
+        toi_cols = [c for c in ("toi_start", "toi_end") if c in batch_df.columns]
+        reqs = batch_df.select("minx", "miny", "maxx", "maxy", *toi_cols).distinct()
+        rows = reqs.limit(MAX_REQUESTS_PER_BATCH + 1).collect()
+        if len(rows) > MAX_REQUESTS_PER_BATCH:
             raise ValueError(
                 f"micro-batch {batch_id} carries >{MAX_REQUESTS_PER_BATCH} "
                 "distinct ROIs — not a control-plane request stream"
             )
-        if not rois:
-            return
-        res = materialize(spark, cube_path, rois, toi_epochs)
-        results.append({"stream_batch": int(batch_id), **res})
+        groups: dict[tuple, list[tuple]] = {}
+        for r in rows:
+            ts = r["toi_start"] if "toi_start" in toi_cols else None
+            te = r["toi_end"] if "toi_end" in toi_cols else None
+            groups.setdefault((ts, te), []).append((r.minx, r.miny, r.maxx, r.maxy))
+        # deterministic group order: the default group first, then by bound
+        for (ts, te) in sorted(
+            groups, key=lambda k: (k != (None, None), k[0] or 0, k[1] or 0)
+        ):
+            if (ts, te) == (None, None):
+                toi = toi_epochs
+            else:
+                toi = normalize_toi(spec.time_epochs, slice(ts, te))
+            res = materialize(spark, cube_path, groups[(ts, te)], toi)
+            results.append(
+                {"stream_batch": int(batch_id), "toi_start": ts, "toi_end": te, **res}
+            )
 
     q = (
         src.writeStream.foreachBatch(sink)

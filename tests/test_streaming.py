@@ -236,3 +236,55 @@ class TestStreamFillRequests:
         assert df.count() == 9
         assert df.select("chunk_key").distinct().count() == 9  # no dupes
         assert read_lineage(spark, cube).count() == 9
+
+    def test_per_request_toi(self, spark, tmp_path):
+        """PER-REQUEST TOI (reference request unit is (aoi, toi),
+        core/accessor.py:331): two requests for the same AOI with
+        different TOIs fill disjoint (tile x time) chunk sets exactly
+        once; a later TOI-less request over the whole axis skips all
+        of them."""
+        from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
+        from smart_geocubes_spark.plans.materialize import (
+            CubeSpec,
+            create_cube,
+            read_lineage,
+        )
+        from smart_geocubes_spark.streaming.ingest import stream_fill_requests
+
+        grid = TileGrid(
+            geobox=GeoBox(crs="EPSG:4326", x0=0.0, y0=20.0, res=0.01, width=2000, height=2000),
+            chunk_px=100,
+        )
+        cube = str(tmp_path / "tcube")
+        create_cube(
+            cube, CubeSpec(grid=grid, channels=("dem",), time_epochs=(100, 200))
+        )
+        reqs = str(tmp_path / "reqs")
+        roi = (2.3, 15.2, 4.8, 17.9)  # 3x3 tiles
+        # ONE file = one micro-batch carrying BOTH TOIs -> two groups,
+        # two materialize runs inside the batch
+        spark.createDataFrame(
+            [roi + (100, 100), roi + (200, 200)],
+            "minx double, miny double, maxx double, maxy double, "
+            "toi_start long, toi_end long",
+        ).coalesce(1).write.mode("append").parquet(reqs)
+        res = stream_fill_requests(spark, reqs, cube, str(tmp_path / "ckpt"))
+        assert [(r["toi_start"], r["written"]) for r in res] == [(100, 9), (200, 9)]
+        lin = read_lineage(spark, cube)
+        assert lin.count() == 18  # disjoint (tile x time), each once
+        assert lin.groupBy("chunk_key").count().filter("count > 1").count() == 0
+        assert sorted(
+            r["time_idx"] for r in lin.select("time_idx").distinct().collect()
+        ) == [0, 1]
+
+        # a TOI-less request row (nulls) falls back to the full axis:
+        # everything is already filled -> nothing written
+        spark.createDataFrame(
+            [roi + (None, None)],
+            "minx double, miny double, maxx double, maxy double, "
+            "toi_start long, toi_end long",
+        ).coalesce(1).write.mode("append").parquet(reqs)
+        res2 = stream_fill_requests(spark, reqs, cube, str(tmp_path / "ckpt"))
+        assert [r["written"] for r in res2] == [0]
+        assert res2[0]["skipped"] == "all cached"
+        assert read_lineage(spark, cube).count() == 18
