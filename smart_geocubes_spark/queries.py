@@ -4049,34 +4049,63 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # a green row in some CORRECTNESS_r*.json.  The repo's replica gate
 # (tests/test_oracle_parity.py) always runs ALL entries regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    # r5 window: (1) this round's new query, (2) inverted_index — the
+    # registry's only never-green driver row (output contract fixed end
+    # of r4: postings joined to a string), (3) every entry whose latest
+    # green driver row is r1-r3 (the 50-entry snapshot can't cover 94;
+    # verdict r4 ask #8: max row age <= 2 rounds), (4) store-path
+    # re-validations — their code changed this round (typed dt-<elem>
+    # block layout, polygon ROI plumbing, lineage time_idx cast).
     "chunk_plan_polygon",
-    "hits_hosts",
-    "stream_session_windows",
-    "cms_heavy_hitters",
     "inverted_index",
-    "exact_quantiles",
-    "bfs_hops",
-    "approx_quantiles_hist",
-    "pmi_collocations",
-    "focal_mean3",
-    "focal_max3",
+    "contamination_overlap",
+    "dedup_ngram_jaccard",
+    "simhash",
+    "simhash_neardup",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "geoparse_text",
+    "embedding_quantize",
+    "redact_coordinates",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "repetition_quality",
+    "corpus_funnel",
+    "stratified_sample",
+    "pack_sequences",
+    "pricing_summary",
+    "topk_revenue",
+    "star_join_revenue",
+    "window_running",
+    "window_range_time",
+    "sessionize",
+    "stream_window_counts",
+    "stream_dedup",
+    "set_ops",
+    "rollup_counts",
+    "scalar_funcs",
+    "semi_anti_join",
+    "salted_agg",
+    "coalesce_merge",
+    "percentile_stats",
+    "url_canonicalize",
+    "text_len_histogram",
+    "cell_rollup",
+    "rolling_hash_fp",
+    "temporal_max_mosaic",
+    "image_decode",
+    "image_resize",
+    "audio_features",
+    "video_frame_sample",
     "focal_cube",
-    "label_propagation",
-    "token_rarity",
-    "patch_overlap_area",
-    "url_rules_filter",
-    "tile_assign_polar",
-    "image_decode_bmp",
-    "audio_features_wav",
-    "host_quota_sample",
-    "pagerank_hosts",
-    "prefix_dup",
-    "bm25_rank",
-    "kmv_distinct_cells",
-    "cohort_retention",
-    "funnel_steps",
-    "triangle_count",
-    "resample_ffill",
+    "event_durations",
+    "chunk_plan_antijoin",
+    "asof_time_nearest",
+    "range_join_time",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_PRIORITY} | {
