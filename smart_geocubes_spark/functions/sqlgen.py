@@ -33,6 +33,34 @@ def morton_cell_sql(lon: str, lat: str, res: int) -> str:
     )
 
 
+def pixel_center_sql(
+    tile_x: str,
+    tile_y: str,
+    i: str,
+    x0: float,
+    y0: float,
+    res: float,
+    chunk_px: int,
+) -> tuple[str, str]:
+    """World coords of the CENTER of flat pixel ``i`` inside chunk
+    (tile_x, tile_y) — the SQL mirror of ``GeoBox.pixel_center`` over
+    the tile-local grid. The integer part is CAST AS DOUBLE before the
+    ``+ 0.5`` so neither engine routes the expression through DECIMAL
+    arithmetic (CLAUDE.md literal-DECIMAL trap); the ``/ {n}.0`` floor
+    form is the proven dual-dialect row split."""
+    col = f"(({i}) % {chunk_px})"
+    row = f"CAST(floor(({i}) / {chunk_px}.0) AS BIGINT)"
+    px = (
+        f"({x0!r} + (CAST(({tile_x}) * {chunk_px} + {col} AS DOUBLE) + 0.5)"
+        f" * {res!r})"
+    )
+    py = (
+        f"({y0!r} - (CAST(({tile_y}) * {chunk_px} + {row} AS DOUBLE) + 0.5)"
+        f" * {res!r})"
+    )
+    return px, py
+
+
 def tile_assign_sql(
     lon: str, lat: str, x0: float, y0: float, tile: float, n_tiles_x: int
 ) -> dict[str, str]:

@@ -117,6 +117,35 @@ def rects_intersect_polygon(
     return edge_hit | corner_in
 
 
+def point_in_polygon_predicate_sql(
+    poly_x: np.ndarray, poly_y: np.ndarray, px: str, py: str
+) -> str:
+    """SQL predicate: even-odd PIP of point expressions against a
+    LITERAL polygon — expression-for-expression the same math as
+    :func:`points_in_polygon` (vertex constants inlined with ``repr``;
+    horizontal edges constant-folded out, so no divisor is zero).
+    One shared string serves Spark (inside array-lambda codegen — the
+    pixel-mask path of polygon zonal stats) AND DuckDB (the per-pixel
+    oracle replay), which is what makes the float comparisons
+    engine-identical."""
+    vx = [float(v) for v in np.asarray(poly_x, dtype=np.float64)]
+    vy = [float(v) for v in np.asarray(poly_y, dtype=np.float64)]
+    m = len(vx)
+    cross_terms = []
+    for i in range(m):
+        x1, y1 = vx[i], vy[i]
+        x2, y2 = vx[(i + 1) % m], vy[(i + 1) % m]
+        dx, dy = x2 - x1, y2 - y1
+        if y1 == y2:
+            continue  # horizontal edge never crosses its own ray
+        cross_terms.append(
+            f"CAST((({y1!r} > ({py})) <> ({y2!r} > ({py})))"
+            f" AND (({px}) < {x1!r} + (({py}) - {y1!r}) * {dx!r} / {dy!r})"
+            " AS INT)"
+        )
+    return "((" + " + ".join(cross_terms) + ") % 2 = 1)"
+
+
 def rect_polygon_predicate_sql(
     poly_x: np.ndarray,
     poly_y: np.ndarray,
@@ -136,7 +165,6 @@ def rect_polygon_predicate_sql(
     vy = [float(v) for v in np.asarray(poly_y, dtype=np.float64)]
     m = len(vx)
     edge_terms = []
-    cross_terms = []
     for i in range(m):
         x1, y1 = vx[i], vy[i]
         x2, y2 = vx[(i + 1) % m], vy[(i + 1) % m]
@@ -154,12 +182,5 @@ def rect_polygon_predicate_sql(
             f" AND {min(y1, y2)!r} <= ({maxy}) AND {max(y1, y2)!r} >= ({miny})"
             f" AND NOT (({all_pos}) OR ({all_neg})))"
         )
-        if y1 == y2:
-            continue  # horizontal edge never crosses its own ray
-        cross_terms.append(
-            f"CAST((({y1!r} > ({miny})) <> ({y2!r} > ({miny})))"
-            f" AND (({minx}) < {x1!r} + (({miny}) - {y1!r}) * {dx!r} / {dy!r})"
-            " AS INT)"
-        )
-    corner_in = "(" + " + ".join(cross_terms) + ") % 2 = 1"
-    return "(" + "\n  OR ".join(edge_terms + [f"({corner_in})"]) + ")"
+    corner_in = point_in_polygon_predicate_sql(poly_x, poly_y, minx, miny)
+    return "(" + "\n  OR ".join(edge_terms + [corner_in]) + ")"

@@ -167,6 +167,67 @@ def zonal_value_histogram(
     )
 
 
+def polygon_zonal_stats(
+    spark: SparkSession,
+    grid: TileGrid,
+    poly,
+    channels: list[str],
+) -> DataFrame:
+    """PIXEL-ACCURATE zonal stats over a polygon AOI (reference zonal
+    reads take a Geometry, ``core/accessor.py:331-358``; bbox zonal
+    over-counts every pixel of every edge tile).
+
+    Plan shape: polygon -> tile enumeration with exact rect x polygon
+    refine (driver-side numpy, metadata-sized) -> one Arrow hop for
+    the blocks -> per-pixel point-in-polygon MASK evaluated INSIDE
+    JVM codegen (`filter(block, (x, i) -> pip(center(i)))` with the
+    polygon vertices inlined as literals — no Python in the per-pixel
+    path, no pixel explode; the shuffle carries two longs per chunk).
+    Outputs are integer-exact: block values step by 0.5, so
+    ``sum * 2`` is an exact BIGINT in any accumulation order — which
+    is what lets one shared predicate string drive BOTH this plan and
+    the DuckDB per-pixel oracle replay bit-for-bit.
+
+    At 100 TB the same masked fold runs over materialized store
+    blocks; per-pixel cost is ~6 flops per polygon edge in codegen."""
+    from smart_geocubes_spark.functions.sqlgen import pixel_center_sql
+    from smart_geocubes_spark.geo.pip import (
+        parse_polygon,
+        point_in_polygon_predicate_sql,
+    )
+
+    px_a, py_a = parse_polygon(poly)
+    tiles = grid.tiles_overlapping_polygon(px_a, py_a)
+    pdf = pd.DataFrame({"tile_x": tiles[:, 0], "tile_y": tiles[:, 1]})
+    pdf["tile_id"] = pdf["tile_y"] * grid.n_tiles_x + pdf["tile_x"]
+    cand = spark.createDataFrame(pdf).crossJoin(
+        F.broadcast(spark.createDataFrame(pd.DataFrame({"channel": channels})))
+    )
+    blocks = cand.mapInPandas(_gen(grid.chunk_px), schema=ZONAL_BLOCK_SCHEMA)
+    gb = grid.geobox
+    pxe, pye = pixel_center_sql(
+        "tile_x", "tile_y", "i", gb.x0, gb.y0, gb.res, grid.chunk_px
+    )
+    pip = point_in_polygon_predicate_sql(px_a, py_a, pxe, pye)
+    # masked array projected ONCE in its own select (CLAUDE.md rule 6:
+    # two consumers of a subexpression -> hoist), then folded
+    masked = blocks.withColumn("mvals", F.expr(f"filter(block, (x, i) -> {pip})"))
+    return (
+        masked.select(
+            "tile_id",
+            "channel",
+            F.size("mvals").cast("long").alias("n_in"),
+            F.expr(
+                "CAST(aggregate(mvals, 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
+            ).alias("sum_x2"),
+        )
+        # a rect can intersect the polygon while holding no pixel
+        # CENTER inside (boundary slivers); the oracle's WHERE+GROUP BY
+        # drops those groups, so the engine drops them too
+        .filter(F.col("n_in") > 0)
+    )
+
+
 def zonal_stats(
     spark: SparkSession,
     grid: TileGrid,

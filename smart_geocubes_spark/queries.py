@@ -601,6 +601,79 @@ WHERE {pred}
 SQL_CHUNK_PLAN_POLYGON = _chunk_plan_polygon_sql()
 
 
+def q_zonal_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-accurate polygon zonal stats: per (tile, channel) the
+    count and exact integer-scaled sum of pixels whose CENTER is
+    inside the concave U ROI — the per-pixel PIP mask runs inside JVM
+    codegen (filter(block, (x,i) -> ...) with inlined vertices); the
+    oracle replays every pixel through the SAME generated predicate
+    string in DuckDB."""
+    from smart_geocubes_spark.operators.zonal import polygon_zonal_stats
+
+    return polygon_zonal_stats(
+        spark, GRID, _POLY_ROI, [c for c, _ in _ZONAL_CHANNELS]
+    )
+
+
+def _zonal_polygon_sql() -> str:
+    import numpy as _n
+
+    from smart_geocubes_spark.functions.sqlgen import pixel_center_sql
+    from smart_geocubes_spark.geo.pip import (
+        point_in_polygon_predicate_sql,
+        rect_polygon_predicate_sql,
+    )
+
+    px = _n.array([p[0] for p in _POLY_ROI])
+    py = _n.array([p[1] for p in _POLY_ROI])
+    cand = GRID.tiles_overlapping_bbox(
+        float(px.min()), float(py.min()), float(px.max()), float(py.max())
+    )
+    bx0, bx1 = int(cand[:, 0].min()), int(cand[:, 0].max())
+    by0, by1 = int(cand[:, 1].min()), int(cand[:, 1].max())
+    gb, t, W = GRID.geobox, GRID.tile_size, GRID.chunk_px
+    rect_pred = rect_polygon_predicate_sql(px, py, "minx", "miny", "maxx", "maxy")
+    # the SAME generator the engine's plan uses, with the oracle's
+    # qualified column spellings — one math definition, two dialect uses
+    pxe, pye = pixel_center_sql("k.tx", "k.ty", "p.i", gb.x0, gb.y0, gb.res, W)
+    pip = point_in_polygon_predicate_sql(px, py, pxe, pye)
+    return f"""WITH t AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+tb AS (
+  SELECT tx, ty, ty * {GRID.n_tiles_x} + tx AS tile_id,
+         CAST({gb.x0!r} + tx * {t!r} AS DOUBLE) AS minx,
+         CAST({gb.y0!r} - ty * {t!r} - {t!r} AS DOUBLE) AS miny,
+         CAST({gb.x0!r} + tx * {t!r} + {t!r} AS DOUBLE) AS maxx,
+         CAST({gb.y0!r} - ty * {t!r} AS DOUBLE) AS maxy
+  FROM t
+  WHERE tx BETWEEN {bx0} AND {bx1} AND ty BETWEEN {by0} AND {by1}
+),
+keep AS (
+  SELECT tile_id, tx, ty FROM tb WHERE {rect_pred}
+),
+inpix AS (
+  SELECT k.tile_id, ch.channel,
+         CAST(k.ty * 1000 + k.tx + ch.off AS DOUBLE)
+           + 0.5 * CAST(p.i AS DOUBLE) AS val
+  FROM keep k
+  CROSS JOIN (VALUES {_ZONAL_CH_VALUES}) ch(channel, off)
+  CROSS JOIN (SELECT range AS i FROM range({W * W})) p
+  WHERE {pip}
+)
+SELECT tile_id, channel,
+       CAST(count(*) AS BIGINT) AS n_in,
+       CAST(sum(val) * 2.0 AS BIGINT) AS sum_x2
+FROM inpix
+GROUP BY 1, 2
+"""
+
+
+SQL_ZONAL_POLYGON_STATS = _zonal_polygon_sql()
+
+
 def q_event_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-patch EVENT LOG (reference core/backend.py:23-28,59-93): fill
     a fresh cube over ZONAL_ROIS[0], then project the committed event
@@ -3945,6 +4018,91 @@ def q_focal_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_typed_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-CHANNEL DTYPES under the driver's value-hash: create a temp
+    cube with float32/bool/int16 channels (reference
+    datasets/arcticdem.py:169-172 declares exactly such per-channel
+    encodings), FILL it through the real materialize kernel — blocks
+    land quantized in per-dtype dt-<elem> parquet leaves — read it
+    back through load() (widen-on-read union of typed scans), and
+    fold per-(tile, channel) integer stats. The oracle replays every
+    pixel with the quantization math in SQL: float32 is exact on the
+    half-step fixture values, bool is ``x != 0``, int16 truncates —
+    so a wrong cast, a missed dtype leaf, or a double round-trip in
+    the store shows up as a hash mismatch. Eagerly checkpointed so
+    the temp cube can be deleted before the gate collects."""
+    import shutil
+    import tempfile
+
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        load,
+        materialize,
+    )
+
+    root = tempfile.mkdtemp(prefix="typedcube_")
+    try:
+        path = root + "/cube"
+        create_cube(
+            path,
+            CubeSpec(
+                grid=GRID,
+                channels=("dem", "mask", "cls"),
+                dtypes=("float32", "bool", "int16"),
+                time_epochs=None,
+            ),
+        )
+        materialize(spark, path, FOCAL_ROIS[0])
+        df = load(spark, path, FOCAL_ROIS[0])
+        out = df.select(
+            "tile_id",
+            "channel",
+            F.size("block").cast("long").alias("n_px"),
+            F.expr(
+                "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
+            ).alias("sum_x2"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _typed_cube_sql() -> str:
+    W = GRID.chunk_px
+    return f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {_zonal_tile_ranges()[0]}
+),
+px AS (
+  SELECT z.tile_id, ch.channel,
+         CASE ch.channel
+           WHEN 'mask' THEN CASE WHEN CAST(z.ty * 1000 + z.tx AS DOUBLE)
+                + 0.5 * CAST(p.i AS DOUBLE) <> 0.0 THEN 1.0 ELSE 0.0 END
+           WHEN 'cls' THEN CAST(z.ty * 1000 + z.tx AS DOUBLE)
+                + CAST(floor(0.5 * CAST(p.i AS DOUBLE)) AS DOUBLE)
+           ELSE CAST(z.ty * 1000 + z.tx AS DOUBLE) + 0.5 * CAST(p.i AS DOUBLE)
+         END AS val
+  FROM ztf z
+  CROSS JOIN (VALUES ('dem'), ('mask'), ('cls')) ch(channel)
+  CROSS JOIN (SELECT range AS i FROM range({W * W})) p
+)
+SELECT tile_id, channel,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(val) * 2.0 AS BIGINT) AS sum_x2
+FROM px
+GROUP BY 1, 2
+"""
+
+
+SQL_TYPED_CUBE_STATS = _typed_cube_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -3963,6 +4121,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pyramid_overview": q_pyramid_overview,
     "chunk_plan_antijoin": q_chunk_plan,
     "chunk_plan_polygon": q_chunk_plan_polygon,
+    "zonal_polygon_stats": q_zonal_polygon_stats,
+    "typed_cube_stats": q_typed_cube_stats,
     "event_durations": q_event_durations,
     "antimeridian_norm": q_antimeridian,
     "dedup_exact": q_dedup_exact,
@@ -4057,6 +4217,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # re-validations — their code changed this round (typed dt-<elem>
     # block layout, polygon ROI plumbing, lineage time_idx cast).
     "chunk_plan_polygon",
+    "zonal_polygon_stats",
+    "typed_cube_stats",
     "inverted_index",
     "contamination_overlap",
     "dedup_ngram_jaccard",
@@ -4104,8 +4266,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "focal_cube",
     "event_durations",
     "chunk_plan_antijoin",
-    "asof_time_nearest",
-    "range_join_time",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_PRIORITY} | {
@@ -4154,6 +4314,8 @@ ORACLES: dict[str, str] = {
     "pyramid_overview": SQL_PYRAMID_OVERVIEW,
     "chunk_plan_antijoin": SQL_CHUNK_PLAN,
     "chunk_plan_polygon": SQL_CHUNK_PLAN_POLYGON,
+    "zonal_polygon_stats": SQL_ZONAL_POLYGON_STATS,
+    "typed_cube_stats": SQL_TYPED_CUBE_STATS,
     "event_durations": SQL_EVENT_DURATIONS,
     "antimeridian_norm": SQL_ANTIMERIDIAN,
     "dedup_exact": SQL_DEDUP_EXACT,

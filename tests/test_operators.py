@@ -423,6 +423,61 @@ class TestPyramidOverview:
             assert int(r.sum_x32) == int(round(direct.sum() * 32))
 
 
+class TestPolygonZonal:
+    def test_rectangle_polygon_equals_closed_form(self, spark):
+        """INDEPENDENT check of the in-codegen PIP mask: for an
+        axis-aligned rectangle polygon, pixel-center membership is
+        plain comparisons — no ray cast, no shared generator — so a
+        bug common to the numpy kernel and the SQL mirror cannot hide
+        here."""
+        import numpy as np
+
+        from smart_geocubes_spark.operators.zonal import polygon_zonal_stats
+        from smart_geocubes_spark.queries import GRID
+
+        # rectangle straddling tile borders: lon [-9.3, -6.6], lat [62.4, 64.2]
+        rect = [(-9.3, 62.4), (-6.6, 62.4), (-6.6, 64.2), (-9.3, 64.2)]
+        out = polygon_zonal_stats(spark, GRID, rect, ["dem"]).toPandas()
+        W = GRID.chunk_px
+        gb = GRID.geobox
+        ramp = np.arange(W * W, dtype=np.float64) * 0.5
+        checked = 0
+        for ty in range(GRID.n_tiles_y):
+            for tx in range(GRID.n_tiles_x):
+                cols = gb.x0 + (tx * W + np.arange(W) + 0.5) * gb.res
+                rows_y = gb.y0 - (ty * W + np.arange(W) + 0.5) * gb.res
+                in_x = (cols > -9.3) & (cols < -6.6)
+                in_y = (rows_y > 62.4) & (rows_y < 64.2)
+                n_in = int(in_x.sum()) * int(in_y.sum())
+                sel = out[out.tile_id == ty * GRID.n_tiles_x + tx]
+                if n_in == 0:
+                    assert len(sel) == 0
+                    continue
+                mask = (in_y[:, None] & in_x[None, :]).ravel()
+                vals = ty * 1000.0 + tx + ramp
+                assert len(sel) == 1
+                assert int(sel.n_in.iloc[0]) == n_in
+                assert int(sel.sum_x2.iloc[0]) == int(vals[mask].sum() * 2)
+                checked += 1
+        assert checked == len(out) > 0
+
+    def test_wkt_accepted(self, spark):
+        from smart_geocubes_spark.operators.zonal import polygon_zonal_stats
+        from smart_geocubes_spark.queries import GRID
+
+        a = polygon_zonal_stats(
+            spark, GRID,
+            "POLYGON ((-9.3 62.4, -6.6 62.4, -6.6 64.2, -9.3 64.2, -9.3 62.4))",
+            ["dem"],
+        )
+        b = polygon_zonal_stats(
+            spark, GRID,
+            [(-9.3, 62.4), (-6.6, 62.4), (-6.6, 64.2), (-9.3, 64.2)],
+            ["dem"],
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 class TestAhoCorasick:
     def test_automaton_matches_bruteforce(self, spark):
         """Adversarial needle sets: overlapping needles, needles that
