@@ -108,7 +108,11 @@ class GeocubeAccessor:
     ) -> dict:
         """procedural_download analog: idempotent cache fill. ``roi``
         may be a LIST of bboxes (reference GeoDataFrame batch branch,
-        core/accessor.py:400-426) — one job fills the deduped union.
+        core/accessor.py:400-426) — one job fills the deduped union —
+        or a single-ring POLYGON (WKT string or (x, y) vertex pairs;
+        reference Geometry branch, core/accessor.py:331-358), refined
+        with the exact rect×polygon test so a concave AOI fills
+        strictly fewer chunks than its bbox.
         ``toi_epochs`` accepts exact axis epochs OR arbitrary
         timestamps/slices, snapped via ``toi_method`` (reference
         normalize_toi semantics)."""
@@ -162,7 +166,8 @@ class GeocubeAccessor:
         core/accessor.py:400-426): ONE fill job covering the deduped
         union, then ONE pruned scan whose result carries a ``roi_idx``
         column naming the requesting ROI per row (a block covered by k
-        ROIs appears k times)."""
+        ROIs appears k times). Polygons (WKT or vertex pairs) are
+        accepted anywhere a bbox is — the reference Geometry branch."""
         if create:
             try:
                 self.create(overwrite=False)
@@ -348,17 +353,33 @@ class GeocubeAccessor:
 # ---------------------------------------------------------------------------
 
 def arcticdem_like(spark: SparkSession, path: str, chunk_px: int = 100) -> GeocubeAccessor:
-    """EPSG:3413 polar-stereographic DEM cube: channels dem:float +
-    datamask (reference ``datasets/arcticdem.py:158-172,333``)."""
+    """EPSG:3413 polar-stereographic DEM cube: channels dem:float32 +
+    datamask:bool — the reference's per-channel encodings verbatim
+    (``datasets/arcticdem.py:158-172,333``: float32 DEM, bool
+    datamask, applied at ``core/accessor.py:269-276``). Storage is
+    typed (the datamask lands as a parquet BOOLEAN bitmap); ``load``
+    returns ``array<double>`` regardless. The synthetic fixture values
+    are halves < 2^24, so the float32 round-trip is exact and every
+    golden-stat test holds bit-for-bit."""
     gb = GeoBox(crs="EPSG:3413", x0=-4_000_000.0, y0=4_000_000.0, res=3200.0, width=2500, height=2500)
-    spec = CubeSpec(grid=TileGrid(geobox=gb, chunk_px=chunk_px), channels=("dem", "datamask"), time_epochs=None)
+    spec = CubeSpec(
+        grid=TileGrid(geobox=gb, chunk_px=chunk_px),
+        channels=("dem", "datamask"),
+        dtypes=("float32", "bool"),
+        time_epochs=None,
+    )
     return GeocubeAccessor(spark=spark, path=path, spec=spec)
 
 
 def tctrend_like(spark: SparkSession, path: str, chunk_px: int = 100) -> GeocubeAccessor:
     """EPSG:4326 temporal trend cube: TCB/TCG/TCW slopes over 4 yearly
     steps (reference ``datasets/tctrend.py:35-57``,
-    ``datasets/alphaearth.py:36``)."""
+    ``datasets/alphaearth.py:36``). The reference stores these slopes
+    as uint8; the dtype system supports that (range-guarded, see
+    ``plans/materialize.DTYPES`` + the uint8 overflow pytest), but this
+    preset keeps float64 because the synthetic fixture formula's
+    values exceed 255 by construction — a uint8 preset would trip the
+    in-plan guard on every fill, which is the guard working."""
     gb = GeoBox(crs="EPSG:4326", x0=-180.0, y0=84.0, res=0.015, width=24000, height=1600)
     spec = CubeSpec(
         grid=TileGrid(geobox=gb, chunk_px=chunk_px),

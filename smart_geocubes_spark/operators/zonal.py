@@ -228,6 +228,46 @@ def polygon_zonal_stats(
     )
 
 
+def polygon_zonal_stats_cube(
+    spark: SparkSession,
+    path: str,
+    poly,
+    channels: list[str] | None = None,
+) -> DataFrame:
+    """:func:`polygon_zonal_stats` over REAL store blocks: polygon
+    load() (tile set already polygon-refined + pruned scan) -> the
+    same in-codegen per-pixel PIP mask -> integer stats. One
+    definition of the mask math — the expression generators — serves
+    the synthetic path, this store path, and the DuckDB oracle."""
+    from smart_geocubes_spark.functions.sqlgen import pixel_center_sql
+    from smart_geocubes_spark.geo.pip import (
+        parse_polygon,
+        point_in_polygon_predicate_sql,
+    )
+    from smart_geocubes_spark.plans.materialize import load, open_spec
+
+    spec = open_spec(path)
+    px_a, py_a = parse_polygon(poly)
+    df = load(spark, path, poly, channels=channels)
+    gb = spec.grid.geobox
+    pxe, pye = pixel_center_sql(
+        "tile_x", "tile_y", "i", gb.x0, gb.y0, gb.res, spec.grid.chunk_px
+    )
+    pip = point_in_polygon_predicate_sql(px_a, py_a, pxe, pye)
+    masked = df.withColumn("mvals", F.expr(f"filter(block, (x, i) -> {pip})"))
+    return (
+        masked.select(
+            "tile_id",
+            "channel",
+            F.size("mvals").cast("long").alias("n_in"),
+            F.expr(
+                "CAST(aggregate(mvals, 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
+            ).alias("sum_x2"),
+        )
+        .filter(F.col("n_in") > 0)
+    )
+
+
 def zonal_stats(
     spark: SparkSession,
     grid: TileGrid,

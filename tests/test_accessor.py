@@ -45,6 +45,44 @@ def test_load_golden_stats(spark, tmp_path):
     assert row.mx == 15 * 1000 + 10 + 0.5 * 9999
 
 
+def test_preset_declares_reference_dtypes(spark, tmp_path):
+    """arcticdem_like mirrors the reference's per-channel encodings
+    (datasets/arcticdem.py:169-172: float32 dem + bool datamask) and
+    the golden stats still hold exactly (fixture values are halves
+    < 2^24 -> float32-exact; datamask loads as 0.0/1.0)."""
+    acc = arcticdem_like(spark, str(tmp_path / "adem"))
+    assert acc.spec.dtypes == ("float32", "bool")
+    df = acc.load(ROI_POLAR, create=True)
+    row = (
+        df.filter((F.col("tile_x") == 10) & (F.col("tile_y") == 15) & (F.col("channel") == "datamask"))
+        .select(F.array_min("block").alias("mn"), F.array_max("block").alias("mx"))
+        .collect()[0]
+    )
+    assert (row.mn, row.mx) == (1.0, 1.0)  # all fixture values nonzero
+
+
+def test_polygon_roi_at_accessor(spark, tmp_path):
+    """Geometry ROI flows through the accessor (reference load()
+    accepts Geometry, core/accessor.py:331-358): a triangle covering
+    half its bbox fills strictly fewer tiles."""
+    acc = arcticdem_like(spark, str(tmp_path / "adem"))
+    acc.create()
+    # triangle over the ROI_POLAR bbox: only the lower-left half
+    tri = [
+        (-800_000.0, -1_500_000.0),
+        (-300_000.0, -1_500_000.0),
+        (-800_000.0, -1_000_000.0),
+    ]
+    m = acc.fill(tri)
+    bbox_tiles = 2 * 3  # ROI_POLAR covers 2x3 tiles (see golden test)
+    assert m["written"] < bbox_tiles * 2  # strictly fewer than bbox x 2 ch
+    df = acc.load(tri)
+    assert df.count() == m["written"]
+    # WKT spelling selects the identical chunk set
+    wkt = "POLYGON ((-800000 -1500000, -300000 -1500000, -800000 -1000000, -800000 -1500000))"
+    assert acc.fill(wkt)["written"] == 0  # all cached — same tiles
+
+
 def test_refill_idempotent_and_loaded_patches(spark, tmp_path):
     acc = arcticdem_like(spark, str(tmp_path / "adem"))
     acc.create()

@@ -461,6 +461,44 @@ class TestPolygonZonal:
                 checked += 1
         assert checked == len(out) > 0
 
+    def test_store_path_equals_synthetic_path(self, spark, tmp_path):
+        """polygon_zonal_stats_cube over a REAL filled cube returns
+        exactly what the synthetic-block path returns for the same
+        polygon — the store round-trip (typed or not) is lossless and
+        the mask math is one definition."""
+        from smart_geocubes_spark.operators.zonal import (
+            polygon_zonal_stats,
+            polygon_zonal_stats_cube,
+        )
+        from smart_geocubes_spark.plans.materialize import (
+            CubeSpec,
+            create_cube,
+            materialize,
+        )
+        from smart_geocubes_spark.queries import GRID, _POLY_ROI
+
+        path = str(tmp_path / "pzcube")
+        create_cube(
+            path,
+            CubeSpec(
+                grid=GRID,
+                channels=("dem", "slope"),
+                dtypes=("float32", "float64"),
+                time_epochs=None,
+            ),
+        )
+        materialize(spark, path, _POLY_ROI)
+        got = sorted(
+            map(tuple, polygon_zonal_stats_cube(spark, path, _POLY_ROI).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                polygon_zonal_stats(spark, GRID, _POLY_ROI, ["dem", "slope"]).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
     def test_wkt_accepted(self, spark):
         from smart_geocubes_spark.operators.zonal import polygon_zonal_stats
         from smart_geocubes_spark.queries import GRID
