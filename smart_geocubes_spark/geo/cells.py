@@ -117,3 +117,49 @@ def cell_ring(cell: int, k: int) -> np.ndarray:
     nx, ny = nx[ok], ny[ok]
     morton = _spread_bits16(nx) | (_spread_bits16(ny) << 1)
     return morton | (res[0] << 56)
+
+
+# a polyfill asked at a resolution whose candidate grid exceeds this is
+# not a driver-side metadata set any more — fail loudly instead of
+# materializing millions of rects in driver numpy (H3 polyfill has the
+# same footgun; callers coarsen or tile the polygon)
+MAX_POLYFILL_CANDIDATES = 4_000_000
+
+
+def cell_polyfill(poly_x: np.ndarray, poly_y: np.ndarray, res: int) -> np.ndarray:
+    """Cells at resolution ``res`` whose rectangle intersects the
+    polygon — the H3 ``polyfill`` / S2 ``RegionCoverer`` role over the
+    Morton grid. bbox-enumerate the candidate (ix, iy) window, then
+    the exact rect x polygon refine (``geo/pip.py``), driver-side
+    numpy: the candidate set is polygon-bounded metadata, never data.
+    Cell edge lengths 360/2^res are exact binary doubles, so the
+    refine arithmetic is exact and the DuckDB oracle replays it
+    bit-for-bit through the shared predicate generator. Returns sorted
+    int64 cell ids (res-tagged like :func:`cell_encode`)."""
+    from smart_geocubes_spark.geo.pip import rects_intersect_polygon
+
+    if not 0 <= res <= MAX_RES:
+        raise ValueError("res must be 0..16")
+    px = np.asarray(poly_x, dtype=np.float64)
+    py = np.asarray(poly_y, dtype=np.float64)
+    n = np.int64(1) << res
+    dx, dy = 360.0 / float(n), 180.0 / float(n)
+    ix_lo, iy_lo = lonlat_to_ixiy(px.min(), py.min(), res)
+    ix_hi, iy_hi = lonlat_to_ixiy(px.max(), py.max(), res)
+    n_cand = int(ix_hi - ix_lo + 1) * int(iy_hi - iy_lo + 1)
+    if n_cand > MAX_POLYFILL_CANDIDATES:
+        raise ValueError(
+            f"polyfill at res {res} enumerates {n_cand} candidate cells "
+            f"(> {MAX_POLYFILL_CANDIDATES}); coarsen the resolution or "
+            "tile the polygon"
+        )
+    gx, gy = np.meshgrid(
+        np.arange(ix_lo, ix_hi + 1, dtype=np.int64),
+        np.arange(iy_lo, iy_hi + 1, dtype=np.int64),
+    )
+    ix, iy = gx.ravel(), gy.ravel()
+    minx = -180.0 + ix * dx
+    miny = -90.0 + iy * dy
+    keep = rects_intersect_polygon(minx, miny, minx + dx, miny + dy, px, py)
+    morton = _spread_bits16(ix[keep]) | (_spread_bits16(iy[keep]) << 1)
+    return np.sort(morton | (np.int64(res) << 56))

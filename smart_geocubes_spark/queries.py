@@ -601,6 +601,71 @@ WHERE {pred}
 SQL_CHUNK_PLAN_POLYGON = _chunk_plan_polygon_sql()
 
 
+def q_cell_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-polyfill role (S2 RegionCoverer analog): Morton cells at
+    res 8 covering the concave U polygon — bbox candidate window +
+    exact rect x polygon refine, driver-side numpy (the covering is
+    polygon-bounded metadata). The oracle re-derives the cover in
+    pure SQL: the same rect predicate generator + the same
+    bit-spread integer expressions the cell_encode oracle uses, so
+    id construction AND geometry both sit under the value hash."""
+    import numpy as _n
+    import pandas as _pd
+
+    from smart_geocubes_spark.geo.cells import cell_decode, cell_polyfill
+
+    ids = cell_polyfill(
+        _n.array([p[0] for p in _POLY_ROI]),
+        _n.array([p[1] for p in _POLY_ROI]),
+        res=8,
+    )
+    ix, iy, _res = cell_decode(ids)
+    return spark.createDataFrame(
+        _pd.DataFrame({"cell_id": ids, "ix": ix, "iy": iy})
+    )
+
+
+def _cell_polyfill_sql() -> str:
+    import numpy as _n
+
+    from smart_geocubes_spark.functions.sqlgen import _spread16
+    from smart_geocubes_spark.geo.cells import lonlat_to_ixiy
+    from smart_geocubes_spark.geo.pip import rect_polygon_predicate_sql
+
+    res = 8
+    n = 1 << res
+    dx, dy = 360.0 / float(n), 180.0 / float(n)
+    px = _n.array([p[0] for p in _POLY_ROI])
+    py = _n.array([p[1] for p in _POLY_ROI])
+    ix_lo, iy_lo = lonlat_to_ixiy(px.min(), py.min(), res)
+    ix_hi, iy_hi = lonlat_to_ixiy(px.max(), py.max(), res)
+    ncols = int(ix_hi - ix_lo + 1)
+    nrows = int(iy_hi - iy_lo + 1)
+    pred = rect_polygon_predicate_sql(px, py, "minx", "miny", "maxx", "maxy")
+    return f"""WITH g AS (
+  SELECT {int(ix_lo)} + range % {ncols} AS ix,
+         {int(iy_lo)} + CAST(floor(range / {ncols}.0) AS BIGINT) AS iy
+  FROM range({ncols * nrows})
+),
+b AS (
+  SELECT ix, iy,
+         CAST(-180.0 + ix * {dx!r} AS DOUBLE) AS minx,
+         CAST(-90.0 + iy * {dy!r} AS DOUBLE) AS miny,
+         CAST(-180.0 + ix * {dx!r} + {dx!r} AS DOUBLE) AS maxx,
+         CAST(-90.0 + iy * {dy!r} + {dy!r} AS DOUBLE) AS maxy
+  FROM g
+)
+SELECT ({_spread16("ix")} | ({_spread16("iy")} << 1)
+        | (CAST({res} AS BIGINT) << 56)) AS cell_id,
+       ix, iy
+FROM b
+WHERE {pred}
+"""
+
+
+SQL_CELL_POLYFILL = _cell_polyfill_sql()
+
+
 def q_zonal_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-accurate polygon zonal stats: per (tile, channel) the
     count and exact integer-scaled sum of pixels whose CENTER is
@@ -4123,6 +4188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_plan_polygon": q_chunk_plan_polygon,
     "zonal_polygon_stats": q_zonal_polygon_stats,
     "typed_cube_stats": q_typed_cube_stats,
+    "cell_polyfill": q_cell_polyfill,
     "event_durations": q_event_durations,
     "antimeridian_norm": q_antimeridian,
     "dedup_exact": q_dedup_exact,
@@ -4219,6 +4285,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "chunk_plan_polygon",
     "zonal_polygon_stats",
     "typed_cube_stats",
+    "cell_polyfill",
     "inverted_index",
     "contamination_overlap",
     "dedup_ngram_jaccard",
@@ -4265,7 +4332,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "video_frame_sample",
     "focal_cube",
     "event_durations",
-    "chunk_plan_antijoin",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_PRIORITY} | {
@@ -4316,6 +4382,7 @@ ORACLES: dict[str, str] = {
     "chunk_plan_polygon": SQL_CHUNK_PLAN_POLYGON,
     "zonal_polygon_stats": SQL_ZONAL_POLYGON_STATS,
     "typed_cube_stats": SQL_TYPED_CUBE_STATS,
+    "cell_polyfill": SQL_CELL_POLYFILL,
     "event_durations": SQL_EVENT_DURATIONS,
     "antimeridian_norm": SQL_ANTIMERIDIAN,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -176,6 +176,47 @@ class TestCells:
         assert len(ring1) == 8
 
 
+class TestPolyfill:
+    def test_rectangle_closed_form(self):
+        """For an axis-aligned rectangle polygon the cover is exactly
+        the index window [floor(lo/d) .. floor(hi/d)] — no ray cast
+        involved in the expectation."""
+        from smart_geocubes_spark.geo.cells import cell_decode, cell_polyfill
+
+        res = 6  # cells 5.625 x 2.8125 deg
+        poly_x = np.array([10.1, 33.9, 33.9, 10.1])
+        poly_y = np.array([40.2, 40.2, 55.8, 55.8])
+        ids = cell_polyfill(poly_x, poly_y, res)
+        ix, iy, r = cell_decode(ids)
+        assert (r == res).all()
+        ex_x = range(int((10.1 + 180) // 5.625), int((33.9 + 180) // 5.625) + 1)
+        ex_y = range(int((40.2 + 90) // 2.8125), int((55.8 + 90) // 2.8125) + 1)
+        assert sorted(zip(ix.tolist(), iy.tolist())) == sorted(
+            (a, b) for a in ex_x for b in ex_y
+        )
+
+    def test_concave_excludes_notch_and_caps(self):
+        from smart_geocubes_spark.geo.cells import cell_polyfill
+
+        u_x = np.array([0.0, 40.0, 40.0, 25.0, 25.0, 15.0, 15.0, 0.0])
+        u_y = np.array([0.0, 0.0, 50.0, 50.0, 15.0, 15.0, 50.0, 50.0])
+        res = 7  # 2.8125 x 1.40625 deg cells
+        ids = cell_polyfill(u_x, u_y, res)
+        bbox = cell_polyfill(
+            np.array([0.0, 40.0, 40.0, 0.0]),
+            np.array([0.0, 0.0, 50.0, 50.0]),
+            res,
+        )
+        assert 0 < len(ids) < len(bbox)  # notch cells excluded
+        assert set(ids).issubset(set(bbox))
+        with pytest.raises(ValueError, match="coarsen"):
+            cell_polyfill(
+                np.array([-179.0, 179.0, 179.0]),
+                np.array([-89.0, -89.0, 89.0]),
+                16,
+            )
+
+
 class TestPIP:
     def test_square(self):
         vx = np.array([0.0, 10.0, 10.0, 0.0])
