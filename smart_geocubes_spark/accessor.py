@@ -409,6 +409,11 @@ def alphaearth_like(spark: SparkSession, path: str, chunk_px: int = 100) -> Geoc
     spec = CubeSpec(
         grid=TileGrid(geobox=gb, chunk_px=chunk_px),
         channels=tuple(f"A{i:02d}" for i in range(64)),
+        # embeddings store as float32 (the embeddings table's
+        # array<float> dim type) — halves < 2^24 round-trip exactly, and
+        # the 64 channels share ONE dt-float leaf (writes are grouped
+        # by storage type, not by channel)
+        dtypes=("float32",) * 64,
         time_epochs=_ALPHAEARTH_EPOCHS,
     )
     return GeocubeAccessor(spark=spark, path=path, spec=spec)

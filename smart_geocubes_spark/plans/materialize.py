@@ -725,7 +725,13 @@ def _gen_blocks_factory(
     return gen
 
 
-def _write_blocks(spec: CubeSpec, plan_df: DataFrame, block_dir: str, make_blocks) -> None:
+def _write_blocks(
+    spec: CubeSpec,
+    plan_df: DataFrame,
+    block_dir: str,
+    make_blocks,
+    present_channels: set[str] | None = None,
+) -> None:
     """Write a fill/patch's blocks, grouped by storage dtype.
 
     ``make_blocks(plan_subset) -> BLOCK_WRITE_SCHEMA frame`` (double
@@ -735,9 +741,20 @@ def _write_blocks(spec: CubeSpec, plan_df: DataFrame, block_dir: str, make_block
     ``dt-<elem>`` subdir per storage group. Channel filtering happens
     on the PLAN rows — BEFORE the kernel (a filter above mapInPandas
     cannot be pushed through it, so filtering blocks after generation
-    would run the kernel once per group over ALL chunks)."""
+    would run the kernel once per group over ALL chunks).
+
+    ``present_channels``: the channels the plan actually contains
+    (callers already know it from the per-channel plan count) — groups
+    with no planned chunks are skipped entirely, so a lazy backfill of
+    one evolved channel costs one write job, not one per dtype group."""
     groups = _dtype_groups(spec)
-    if set(groups) == {"double"}:
+    if present_channels is not None:
+        groups = {
+            e: kept
+            for e, chans in groups.items()
+            if (kept := [c for c in chans if c in present_channels])
+        }
+    if set(groups) == {"double"} and spec.dtypes is None:
         make_blocks(plan_df).write.mode("overwrite").parquet(block_dir)
         return
     for elem, chans in sorted(groups.items()):
@@ -810,7 +827,14 @@ def materialize(
         .sortWithinPartitions("tile_id", "time_idx", "channel")
         .localCheckpoint(eager=True)
     )
-    n_missing = missing.count()
+    # per-channel counts in ONE job (replaces the plain count): the
+    # total gates the all-cached return, the channel set lets
+    # _write_blocks skip dtype groups with no planned chunks (a lazy
+    # backfill of one evolved channel = one write job, not one per
+    # dtype group)
+    ch_counts = {r["channel"]: r["n"] for r in
+                 missing.groupBy("channel").agg(F.count("*").alias("n")).collect()}
+    n_missing = sum(ch_counts.values())
     if n_missing == 0:
         # nothing committed under this id — returning it would hand
         # the caller a batch_id that snapshots()/as_of reject
@@ -828,6 +852,7 @@ def materialize(
         lambda part: part.mapInPandas(
             _gen_blocks_factory(spec.grid.chunk_px), schema=BLOCK_WRITE_SCHEMA
         ),
+        present_channels=set(ch_counts),
     )
     # the per-chunk 'generate' event rows STAY inside the block files
     # (read_events column-prunes them out); the per-partition 'write'
@@ -925,7 +950,9 @@ def materialize_patch(
         .sortWithinPartitions("tile_id", "time_idx", "channel")
         .localCheckpoint(eager=True)  # feeds kernel + lineage + count
     )
-    n_chunks = cand.count()
+    ch_counts = {r["channel"]: r["n"] for r in
+                 cand.groupBy("channel").agg(F.count("*").alias("n")).collect()}
+    n_chunks = sum(ch_counts.values())
     gb = spec.grid.geobox
     # currently-visible content of exactly these chunks (winner rows,
     # patch-bounded — the same pruned scan load() serves readers);
@@ -973,7 +1000,7 @@ def materialize_patch(
 
     patch_block_dir = os.path.join(path, "blocks", f"batch={batch_id}")
     t_write0 = time.time_ns() // 1000
-    _write_blocks(spec, cand, patch_block_dir, _merged)
+    _write_blocks(spec, cand, patch_block_dir, _merged, present_channels=set(ch_counts))
     _record_write_events(path, batch_id, patch_block_dir, t_write0)
 
     n_px = spec.grid.chunk_px * spec.grid.chunk_px

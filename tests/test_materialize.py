@@ -828,3 +828,41 @@ class TestChannelDtypes:
         assert s.dtypes == ("float64", "bool")
         with pytest.raises(ValueError, match="unknown dtype"):
             add_channel(plain, "x", dtype="float128")
+
+    def test_typed_evolution_mixed_layout(self, spark, tmp_path):
+        """SCHEMA EVOLUTION onto the dtype system: a cube filled while
+        all-float64 (top-level batch layout) gains a bool channel; the
+        lazy backfill lands in the NEW typed dt-<elem> layout and
+        load() unions both layouts transparently."""
+        import numpy as np
+
+        from smart_geocubes_spark.plans.materialize import add_channel
+
+        path = str(tmp_path / "evocube")
+        create_cube(
+            path, CubeSpec(grid=SMALL_GRID, channels=("dem",), time_epochs=None)
+        )
+        materialize(spark, path, ROI_A)  # pre-evolution: top-level layout
+        add_channel(path, "datamask", dtype="bool")
+        m = materialize(spark, path, ROI_A)  # lazy backfill, typed layout
+        assert m["written"] == 9  # only the new channel's chunks
+        df = load(spark, path, ROI_A)
+        assert df.count() == 18
+        by_ch = {
+            r["channel"]: np.array(r["block"])
+            for r in df.filter(
+                (F.col("tile_y") == 3) & (F.col("tile_x") == 2)
+            ).collect()
+        }
+        formula = 3 * 1000.0 + 2 + 0.5 * np.arange(100 * 100)
+        assert np.array_equal(by_ch["dem"], formula)  # untouched float64
+        assert np.array_equal(by_ch["datamask"], (formula != 0).astype(float))
+        # the backfill batch physically holds a dt-boolean leaf
+        bdir = os.path.join(path, "blocks")
+        leaves = {
+            s
+            for b in os.listdir(bdir)
+            for s in os.listdir(os.path.join(bdir, b))
+            if s.startswith("dt-")
+        }
+        assert leaves == {"dt-boolean"}
