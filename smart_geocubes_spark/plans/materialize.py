@@ -1164,6 +1164,15 @@ def load(
     # the groups union (filters below push through the union into every
     # scan). All-float64 cubes hit exactly one scan — the pre-dtype plan.
     leafs = _block_leaf_dirs(batches)
+    if channels is not None:
+        # dtype-GROUP pruning: a channel projection maps to the storage
+        # groups that hold those channels; every other dt-<elem> leaf is
+        # dropped from the plan entirely — no file listing, no scan, no
+        # per-leaf winner subplan. (Safe with mixed layouts: a flat
+        # pre-dtype batch only ever holds float64 channels, and those
+        # map to the "double" group.)
+        wanted = {DTYPES[spec.channel_dtype(c)] for c in channels}
+        leafs = {e: dirs for e, dirs in leafs.items() if e in wanted}
     if not leafs:  # committed dirs with no data files: same as no batches
         cols = ["chunk_key", "batch_id"] + [
             f.split()[0] for f in BLOCK_SCHEMA.split(", ") if f.split()[0] != "batch_id"

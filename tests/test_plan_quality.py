@@ -578,3 +578,62 @@ def test_triangle_degree_orientation_plan(spark):
         plan = plan_of(triangle_stats(edges, orientation=o))
         assert "CartesianProduct" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_polygon_zonal_mask_stays_jvm_side(spark):
+    """The per-pixel PIP mask must be array-lambda codegen, never a
+    Python hop: exactly one MapInPandas (the block generator) and zero
+    ArrowEvalPython; no joins — the polygon is inlined literals."""
+    from smart_geocubes_spark.queries import q_zonal_polygon_stats
+
+    plan = plan_of(q_zonal_polygon_stats(spark, SF))
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only join is the broadcast channel-VALUES cross (literal-small)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_typed_load_prunes_every_dtype_leaf(spark, tmp_path):
+    """A channel-projected read of a typed cube (a) prunes WHOLE dtype
+    groups whose channels aren't requested (the boolean leaf never
+    enters the plan), and (b) pushes the channel IN filter into every
+    surviving leaf scan, which reads its own typed element schema."""
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        load,
+        materialize,
+    )
+    from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
+
+    grid = TileGrid(
+        geobox=GeoBox(crs="EPSG:4326", x0=0.0, y0=20.0, res=0.01, width=2000, height=2000),
+        chunk_px=100,
+    )
+    path = str(tmp_path / "tcube")
+    create_cube(
+        path,
+        CubeSpec(grid=grid, channels=("dem", "mask"), dtypes=("float32", "bool"),
+                 time_epochs=None),
+    )
+    materialize(spark, path, (2.3, 15.2, 4.8, 17.9))
+    df = load(spark, path, (2.3, 15.2, 4.8, 17.9), channels=["dem"])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # (a) group pruning: dem is float32, so the boolean leaf (and its
+    # whole union branch + duplicated winner subplan) must be absent
+    assert "dt-float" in plan and "array<float>" in plan
+    assert "dt-boolean" not in plan and "array<boolean>" not in plan
+    assert "Union" not in plan
+    # (b) pushdown into the surviving scans (blocks leaf + lineage)
+    pushed = [seg[:300] for seg in plan.split("PushedFilters: ")[1:]]
+    with_ch = [s for s in pushed if "channel" in s.split("]", 1)[0]]
+    assert len(with_ch) >= 2, f"channel filter not pushed everywhere: {pushed}"
+    # both-group read keeps the per-leaf typed schemas under one union
+    both = load(spark, path, (2.3, 15.2, 4.8, 17.9))
+    bplan = both._sc._jvm.PythonSQLUtils.explainString(
+        both._jdf.queryExecution(), "formatted"
+    )
+    assert "array<float>" in bplan and "array<boolean>" in bplan
