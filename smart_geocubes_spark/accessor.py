@@ -156,6 +156,7 @@ class GeocubeAccessor:
         create: bool = False,
         toi_method: str = "nearest",
         channels: list[str] | None = None,
+        value_range: tuple[float, float] | None = None,
     ) -> DataFrame | pd.DataFrame:
         """The flagship four-step query (docs/how_it_works.md:48-53):
         intersect -> download new -> store -> return ROI slice.
@@ -193,8 +194,28 @@ class GeocubeAccessor:
         # reference downloads whole patches regardless of band slice);
         # only the returned scan projects (band slicing, P4)
         materialize(self.spark, self.path, roi, toi)
-        df = load_blocks(self.spark, self.path, roi, toi, channels=channels)
+        df = load_blocks(
+            self.spark, self.path, roi, toi,
+            channels=channels, value_range=value_range,
+        )
         return df.toPandas() if persist else df
+
+    def chunk_stats(
+        self,
+        roi: BBox | list[BBox],
+        toi_epochs=None,
+        toi_method: str = "nearest",
+        channels: list[str] | None = None,
+    ) -> DataFrame:
+        """Zone-map manifest for the ROI: one row per visible chunk with
+        its stored value bounds (v_min/v_max/n_valid) — the metadata
+        read behind ``load(value_range=...)`` pruning. Never touches
+        block arrays."""
+        from smart_geocubes_spark.plans.materialize import chunk_stats
+
+        self.assert_created()
+        toi = self._normalize_toi(toi_epochs, toi_method)
+        return chunk_stats(self.spark, self.path, roi, toi, channels=channels)
 
     def load_like(
         self, ref: DataFrame, persist: bool = False, buffer: int = 0

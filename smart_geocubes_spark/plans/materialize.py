@@ -63,7 +63,14 @@ BLOCK_SCHEMA = (
 )
 LINEAGE_SCHEMA = (
     "chunk_key string, tile_id long, time_idx int, channel string, "
-    "batch_id string, partition_id int, n_rows long, n_bytes long"
+    "batch_id string, partition_id int, n_rows long, n_bytes long, "
+    # CONTENT PROVENANCE: the batch that last CHANGED this chunk's
+    # pixels. Fills and patches stamp their own id; compaction — a
+    # verbatim rewrite — carries the shadowed winner's src_batch
+    # through, so CDC (load_changes) can tell "rewritten, same bytes"
+    # from "actually new content". Legacy rows read NULL =
+    # coalesce(src_batch, batch_id).
+    "src_batch string"
 )
 # per-chunk event rows emitted from inside the block-generation kernel;
 # t_start/t_end bound the Arrow batch that produced the chunk (batch
@@ -86,6 +93,17 @@ BLOCK_WRITE_SCHEMA = (
     BLOCK_SCHEMA
     + ", chunk_key string, partition_id int, t_start_us long, t_end_us long, n_bytes long"
 )
+# ZONE-MAP columns: per-chunk value bounds over the VALID (non-NaN)
+# pixels, computed in-plan at write time on the STORED (post-
+# quantization) representation — so pruning decisions compare exactly
+# what load() will serve back, never the pre-quantization doubles (a
+# float32 round at a range boundary would otherwise prune a matching
+# chunk). They ride inside the block files like the event columns do
+# (one write job; stats reads are column-pruned so the 8 KB+ block
+# arrays are never touched), and compaction carries them through.
+# Legacy pre-stats files read NULL = "bounds unknown, keep".
+STATS_COLS = "v_min double, v_max double, n_valid long"
+BLOCK_FILE_SCHEMA = BLOCK_WRITE_SCHEMA + ", " + STATS_COLS
 
 # ---------------------------------------------------------------------------
 # per-channel dtypes (reference declares per-channel encodings: float32
@@ -152,6 +170,28 @@ def _to_double(elem: str):
     if elem == "boolean":
         return F.expr("transform(block, x -> IF(x, 1.0D, 0.0D))")
     return F.col("block").cast("array<double>")
+
+
+def _with_chunk_stats(df: DataFrame, elem: str) -> DataFrame:
+    """Append the zone-map columns (STATS_COLS) to a block frame whose
+    ``block`` column already holds the STORED element type. All-JVM
+    codegen: widen -> drop NaN -> array_min/max/size. An all-NaN chunk
+    gets (NULL, NULL, 0) — prunable, distinct from the legacy
+    (NULL, NULL, NULL) = unknown."""
+    wide = F.col("block") if elem == "double" else _to_double(elem)
+    return (
+        # "no data" is NULL-or-NaN (the kernel emits NaN; Arrow's
+        # pandas list conversion turns NaN into null crossing into the
+        # JVM) — and Spark's isnan(NULL) is FALSE, so both tests are
+        # required or null holes count as valid pixels
+        df.withColumn(
+            "_valid", F.filter(wide, lambda x: x.isNotNull() & ~F.isnan(x))
+        )
+        .withColumn("v_min", F.array_min("_valid"))
+        .withColumn("v_max", F.array_max("_valid"))
+        .withColumn("n_valid", F.size("_valid").cast("long"))
+        .drop("_valid")
+    )
 
 
 def _block_leaf_dirs(batch_dirs: list[str]) -> dict[str, list[str]]:
@@ -755,11 +795,14 @@ def _write_blocks(
             if (kept := [c for c in chans if c in present_channels])
         }
     if set(groups) == {"double"} and spec.dtypes is None:
-        make_blocks(plan_df).write.mode("overwrite").parquet(block_dir)
+        _with_chunk_stats(make_blocks(plan_df), "double").write.mode(
+            "overwrite"
+        ).parquet(block_dir)
         return
     for elem, chans in sorted(groups.items()):
         sub = make_blocks(plan_df.filter(F.col("channel").isin(chans)))
         sub = sub.withColumn("block", _to_stored(spec, elem))
+        sub = _with_chunk_stats(sub, elem)
         sub.write.mode("overwrite").parquet(os.path.join(block_dir, f"dt-{elem}"))
     # batch-level commit marker: _block_batches requires it, and the
     # per-subdir _SUCCESS files alone would leave the batch invisible
@@ -871,9 +914,10 @@ def materialize(
         missing.withColumn("partition_id", F.spark_partition_id())
         .withColumn("n_rows", F.lit(1).cast("long"))
         .withColumn("n_bytes", _lineage_nbytes(spec, n_px))
+        .withColumn("src_batch", F.col("batch_id"))
         .select(
             "chunk_key", "tile_id", "time_idx", "channel",
-            "batch_id", "partition_id", "n_rows", "n_bytes",
+            "batch_id", "partition_id", "n_rows", "n_bytes", "src_batch",
         )
     )
     lin_dir = os.path.join(path, "lineage", f"batch={batch_id}")
@@ -1008,9 +1052,10 @@ def materialize_patch(
         cand.withColumn("partition_id", F.spark_partition_id())
         .withColumn("n_rows", F.lit(1).cast("long"))
         .withColumn("n_bytes", _lineage_nbytes(spec, n_px))
+        .withColumn("src_batch", F.col("batch_id"))
         .select(
             "chunk_key", "tile_id", "time_idx", "channel",
-            "batch_id", "partition_id", "n_rows", "n_bytes",
+            "batch_id", "partition_id", "n_rows", "n_bytes", "src_batch",
         )
     )
     lin.write.mode("overwrite").parquet(os.path.join(path, "lineage", f"batch={batch_id}"))
@@ -1067,11 +1112,28 @@ def load(
     toi_epochs: list[int] | None = None,
     as_of_batch: str | None = None,
     channels: list[str] | None = None,
+    value_range: tuple[float, float] | None = None,
+    stats_only: bool = False,
 ) -> DataFrame:
     """ROI read: materialize() first for the reference's full load()
     semantics; this is the scan+crop step (snapshot = committed lineage
     only). Partition pruning: blocks are filtered on tile_id membership
     (small set -> pushed to parquet row groups).
+
+    ``value_range=(lo, hi)``: ZONE-MAP pruning — a metadata pass reads
+    only the per-chunk (v_min, v_max, n_valid) columns (the block
+    arrays are never touched; parquet column pruning) and drops every
+    chunk whose stored bounds cannot intersect [lo, hi]. The surviving
+    set then narrows BOTH the pushed tile_id IN list and the winner
+    broadcast, so pruned chunks cost neither scan I/O nor join rows.
+    Chunk-granular and conservative: surviving blocks still contain all
+    their pixels (exact per-pixel filtering is the caller's); legacy
+    pre-stats files carry NULL bounds = "unknown" and are always kept.
+    The survivor collect is bounded by the ROI chunk count — the same
+    cardinality load() already broadcasts as its winner set.
+
+    ``stats_only=True``: return the zone-map manifest itself (one row
+    per visible chunk with its bounds) instead of block rows.
 
     ``channels``: band projection (P4, reference ``load(..., bands)``
     slicing) — the IN filter is pushed to BOTH parquet scans (blocks
@@ -1173,28 +1235,17 @@ def load(
         # map to the "double" group.)
         wanted = {DTYPES[spec.channel_dtype(c)] for c in channels}
         leafs = {e: dirs for e, dirs in leafs.items() if e in wanted}
-    if not leafs:  # committed dirs with no data files: same as no batches
+
+    def _empty_blocks() -> DataFrame:
         cols = ["chunk_key", "batch_id"] + [
             f.split()[0] for f in BLOCK_SCHEMA.split(", ") if f.split()[0] != "batch_id"
         ]
         return _with_roi_idx(
             spark.createDataFrame([], BLOCK_SCHEMA + ", chunk_key string").select(*cols)
         )
-    parts = []
-    for elem in sorted(leafs):
-        part = spark.read.schema(_typed_schema(BLOCK_SCHEMA, elem)).parquet(
-            *leafs[elem]
-        )
-        parts.append(part.withColumn("block", _to_double(elem)))
-    df = parts[0]
-    for p_ in parts[1:]:
-        df = df.unionByName(p_)
-    df = df.filter(F.col("tile_id").isin(tile_ids))
-    if channels is not None:
-        df = df.filter(F.col("channel").isin(list(channels)))
-    if toi_epochs is not None and spec.time_epochs is not None:
-        idxs = [list(spec.time_epochs).index(t) for t in toi_epochs]
-        df = df.filter(F.col("time_idx").isin(idxs))
+
+    if not leafs:  # committed dirs with no data files: same as no batches
+        return _empty_blocks()
     # visibility: a block row is visible iff a committed lineage row
     # names BOTH its chunk_key AND its batch_id — orphan blocks from a
     # crashed batch never match even when a later batch re-wrote the
@@ -1222,11 +1273,169 @@ def load(
     winners = (
         lineage.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
+
+    if stats_only or value_range is not None:
+        if value_range is not None:
+            # winners feeds the survivor ACTION below and then the block
+            # scan's semi-join — 2 consumers -> eager checkpoint
+            # (CLAUDE.md rule: never let the lineage window recompute)
+            winners = winners.localCheckpoint(eager=True)
+        stats_schema = (
+            "tile_y long, tile_x long, tile_id long, time_idx int, "
+            "channel string, pt int, batch_id string, " + STATS_COLS
+        )
+        # one pruned scan over every leaf dir: the stats schema is
+        # element-type-independent, so no per-dtype union is needed and
+        # the block column never appears in the plan
+        sdf = spark.read.schema(stats_schema).parquet(
+            *[d for ds in leafs.values() for d in sorted(ds)]
+        )
+        sdf = sdf.filter(F.col("tile_id").isin(tile_ids))
+        if channels is not None:
+            sdf = sdf.filter(F.col("channel").isin(list(channels)))
+        if toi_epochs is not None and spec.time_epochs is not None:
+            idxs = [list(spec.time_epochs).index(t) for t in toi_epochs]
+            sdf = sdf.filter(F.col("time_idx").isin(idxs))
+        sdf = sdf.withColumn(
+            "chunk_key",
+            F.concat_ws(
+                "-", F.col("time_idx"), F.col("tile_y"), F.col("tile_x"), F.col("channel")
+            ),
+        ).join(F.broadcast(winners), ["chunk_key", "batch_id"], "left_semi")
+        if stats_only:
+            return _with_roi_idx(sdf)
+        lo, hi = (float(value_range[0]), float(value_range[1]))
+        surv = (
+            sdf.filter(
+                (F.col("v_min").isNull() & F.col("n_valid").isNull())
+                | (
+                    (F.col("n_valid") > 0)
+                    & (F.col("v_max") >= F.lit(lo))
+                    & (F.col("v_min") <= F.lit(hi))
+                )
+            )
+            .select("chunk_key", "tile_id")
+            .collect()
+        )
+        if not surv:
+            return _empty_blocks()
+        tile_ids = sorted({int(r["tile_id"]) for r in surv})
+        winners = winners.filter(
+            F.col("chunk_key").isin(sorted({r["chunk_key"] for r in surv}))
+        )
+
+    parts = []
+    for elem in sorted(leafs):
+        part = spark.read.schema(_typed_schema(BLOCK_SCHEMA, elem)).parquet(
+            *leafs[elem]
+        )
+        parts.append(part.withColumn("block", _to_double(elem)))
+    df = parts[0]
+    for p_ in parts[1:]:
+        df = df.unionByName(p_)
+    df = df.filter(F.col("tile_id").isin(tile_ids))
+    if channels is not None:
+        df = df.filter(F.col("channel").isin(list(channels)))
+    if toi_epochs is not None and spec.time_epochs is not None:
+        idxs = [list(spec.time_epochs).index(t) for t in toi_epochs]
+        df = df.filter(F.col("time_idx").isin(idxs))
     df = df.withColumn(
         "chunk_key",
         F.concat_ws("-", F.col("time_idx"), F.col("tile_y"), F.col("tile_x"), F.col("channel")),
     )
     return _with_roi_idx(df.join(F.broadcast(winners), ["chunk_key", "batch_id"], "left_semi"))
+
+
+def chunk_stats(
+    spark: SparkSession,
+    path: str,
+    roi_bbox,
+    toi_epochs: list[int] | None = None,
+    as_of_batch: str | None = None,
+    channels: list[str] | None = None,
+) -> DataFrame:
+    """Zone-map manifest read: one row per VISIBLE chunk in the ROI with
+    its stored value bounds (v_min, v_max) and valid-pixel count — the
+    Iceberg-manifest/ORC-stripe-stats analog for the cube store. Column-
+    pruned: the block arrays never enter the plan, so at 100 TB this
+    reads a few bytes per chunk, not the chunks. Same ROI/TOI/channel/
+    time-travel semantics as :func:`load`."""
+    return load(
+        spark,
+        path,
+        roi_bbox,
+        toi_epochs=toi_epochs,
+        as_of_batch=as_of_batch,
+        channels=channels,
+        stats_only=True,
+    )
+
+
+def load_changes(
+    spark: SparkSession,
+    path: str,
+    roi_bbox,
+    since_batch: str,
+    toi_epochs: list[int] | None = None,
+    channels: list[str] | None = None,
+) -> DataFrame:
+    """CDC read: the ROI's currently-visible blocks whose CONTENT
+    changed after the ``since_batch`` snapshot (exclusive) — the
+    incremental-consumer primitive (Iceberg incremental scan role): a
+    downstream pipeline refreshes exactly what fills/patches landed,
+    not the whole ROI.
+
+    Change detection is by PROVENANCE, not winner identity: lineage's
+    ``src_batch`` names the batch that last changed the chunk's pixels.
+    A compaction rewrites blocks verbatim under a new batch_id but
+    carries ``src_batch`` through, so it reports ZERO changes; a patch
+    merge stamps its own id, so it reports exactly its footprint. New
+    chunks (no winner at the snapshot) always report. All pruning is
+    metadata-sized: two ROI-bounded lineage winner frames and one
+    broadcast key set on top of the normal pruned block scan."""
+    ids = [s["batch_id"] for s in snapshots(path)]
+    if since_batch not in ids:
+        raise ValueError(f"unknown snapshot {since_batch!r}; committed: {ids}")
+    spec = open_spec(path)
+    nx = spec.grid.n_tiles_x
+    items, _ = _roi_items(roi_bbox)
+    tile_ids = sorted(
+        {int(ty * nx + tx) for it in items for tx, ty in _item_tiles(spec.grid, it)}
+    )
+    if not tile_ids:
+        raise ValueError("ROI does not intersect the cube extent")
+
+    from pyspark.sql import Window
+
+    def _winner_src(allowed: set[str] | None) -> DataFrame:
+        lin = read_lineage(spark, path).filter(F.col("tile_id").isin(tile_ids))
+        if channels is not None:
+            lin = lin.filter(F.col("channel").isin(list(channels)))
+        if allowed is not None:
+            lin = lin.filter(F.col("batch_id").isin(sorted(allowed)))
+        lin = lin.select(
+            "chunk_key",
+            "batch_id",
+            F.coalesce(F.col("src_batch"), F.col("batch_id")).alias("src_batch"),
+        ).distinct()
+        w = Window.partitionBy("chunk_key").orderBy(F.col("batch_id").asc())
+        return (
+            lin.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("chunk_key", "src_batch")
+        )
+
+    old = _winner_src(set(ids[: ids.index(since_batch) + 1])).withColumnRenamed(
+        "src_batch", "old_src"
+    )
+    changed = (
+        _winner_src(None)
+        .join(old, "chunk_key", "left")
+        .filter(F.col("old_src").isNull() | (F.col("src_batch") != F.col("old_src")))
+        .select("chunk_key")
+    )
+    now = load(spark, path, roi_bbox, toi_epochs, channels=channels)
+    return now.join(F.broadcast(changed), "chunk_key", "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -1290,7 +1499,9 @@ def compact(spark: SparkSession, path: str) -> dict:
         os.path.basename(d).startswith("batch=") for d in leafs.get("double", [])
     )
     for elem in sorted(leafs):
-        blocks = spark.read.schema(_typed_schema(BLOCK_WRITE_SCHEMA, elem)).parquet(
+        # BLOCK_FILE_SCHEMA so zone-map stats survive the rewrite
+        # (legacy batches read NULL and stay NULL — "unknown, keep")
+        blocks = spark.read.schema(_typed_schema(BLOCK_FILE_SCHEMA, elem)).parquet(
             *leafs[elem]
         )
         # blocks written by the pre-event-log format carry no chunk_key
@@ -1330,9 +1541,17 @@ def compact(spark: SparkSession, path: str) -> dict:
         os.path.join(path, "events", f"batch={new_id}")
     )
 
-    new_lineage = winners.withColumn("batch_id", F.lit(new_id)).select(
-        "chunk_key", "tile_id", "time_idx", "channel",
-        "batch_id", "partition_id", "n_rows", "n_bytes",
+    new_lineage = (
+        winners
+        # provenance survives the verbatim rewrite: CDC must see "same
+        # content" across a compaction (legacy rows coalesce to their
+        # pre-compaction batch id)
+        .withColumn("src_batch", F.coalesce(F.col("src_batch"), F.col("batch_id")))
+        .withColumn("batch_id", F.lit(new_id))
+        .select(
+            "chunk_key", "tile_id", "time_idx", "channel",
+            "batch_id", "partition_id", "n_rows", "n_bytes", "src_batch",
+        )
     )
     new_lineage.write.mode("overwrite").parquet(
         os.path.join(path, "lineage", f"batch={new_id}")

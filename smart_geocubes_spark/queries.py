@@ -4168,6 +4168,184 @@ GROUP BY 1, 2
 SQL_TYPED_CUBE_STATS = _typed_cube_sql()
 
 
+# zone-map range scan: prune on per-chunk (v_min, v_max) bounds, then
+# exact per-pixel filter. Bounds picked so pruning is REAL for ROI 0:
+# chunks span [ty*1000+tx, ty*1000+tx + 4999.5]; [18500, 19000] touches
+# only the ty=14 row (3 of 9 tiles), and inside those chunks only a
+# pixel subrange matches — so a pruning bug (dropped survivor) or a
+# stats bug (kept pixel outside bounds) both move the hash.
+RS_LO, RS_HI = 18500.0, 19000.0
+
+
+def q_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP pruned value scan over the cube store: fill a cube
+    through the real materialize kernel (write path computes per-chunk
+    v_min/v_max/n_valid in-plan, carried inside the block files like
+    the event columns), read it back with ``load(value_range=...)`` —
+    the metadata pass reads ONLY the stats columns, drops every chunk
+    whose bounds miss the range, and narrows both the pushed tile_id
+    IN list and the winner broadcast — then fold exact per-pixel
+    membership stats. The oracle replays every ROI pixel in SQL with
+    the same range predicate, so both a false prune (missing rows) and
+    a stale/wrong bound (extra rows) break the hash."""
+    import shutil
+    import tempfile
+
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        load,
+        materialize,
+    )
+
+    root = tempfile.mkdtemp(prefix="rangescan_")
+    try:
+        path = root + "/cube"
+        create_cube(
+            path,
+            CubeSpec(grid=GRID, channels=("dem", "mask"), time_epochs=None),
+        )
+        materialize(spark, path, ZONAL_ROIS[0])
+        df = load(spark, path, ZONAL_ROIS[0], value_range=(RS_LO, RS_HI))
+        out = (
+            df.select(
+                "tile_id",
+                "channel",
+                F.expr(
+                    f"filter(block, x -> x >= {RS_LO!r} AND x <= {RS_HI!r})"
+                ).alias("m"),
+            )
+            .select(
+                "tile_id",
+                "channel",
+                F.size("m").cast("long").alias("n_in"),
+                F.expr(
+                    "CAST(aggregate(m, 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
+                ).alias("sum_x2"),
+            )
+            .filter(F.col("n_in") > 0)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _range_scan_sql() -> str:
+    W = GRID.chunk_px
+    return f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {_zonal_tile_ranges()[0]}
+),
+px AS (
+  SELECT z.tile_id, ch.channel,
+         CAST(z.ty * 1000 + z.tx AS DOUBLE) + 0.5 * CAST(p.i AS DOUBLE) AS val
+  FROM ztf z
+  CROSS JOIN (VALUES ('dem'), ('mask')) ch(channel)
+  CROSS JOIN (SELECT range AS i FROM range({W * W})) p
+)
+SELECT tile_id, channel,
+       CAST(count(*) AS BIGINT) AS n_in,
+       CAST(sum(val) * 2.0 AS BIGINT) AS sum_x2
+FROM px
+WHERE val >= {RS_LO!r} AND val <= {RS_HI!r}
+GROUP BY 1, 2
+"""
+
+
+SQL_RANGE_SCAN_STATS = _range_scan_sql()
+
+
+# CDC fixture geometry: ROI B overlaps ZONAL_ROIS[0] (tx 19-21 x
+# ty 12-14) on 4 tiles; its delta is the ty=15 strip (2 tiles).
+CDC_ROI_B = (-149.7, 61.3, -147.2, 63.9)
+
+
+def q_store_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROVENANCE CDC under the driver hash: fill ROI A (snapshot),
+    fill overlapping ROI B, then ``load_changes(B, since=A)`` must
+    return EXACTLY the chunks the second fill created — the overlap
+    (cached, content unchanged) and the A-only tiles must not appear.
+    Exercises the src_batch lineage column end-to-end: a winner-
+    identity diff (instead of provenance) or a broken anti-join
+    changes the row set; the per-pixel oracle replays the B-minus-A
+    tile set in SQL."""
+    import shutil
+    import tempfile
+
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        load_changes,
+        materialize,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdccube_")
+    try:
+        path = root + "/cube"
+        create_cube(
+            path,
+            CubeSpec(grid=GRID, channels=("dem", "mask"), time_epochs=None),
+        )
+        m1 = materialize(spark, path, ZONAL_ROIS[0])
+        materialize(spark, path, CDC_ROI_B)
+        df = load_changes(spark, path, CDC_ROI_B, m1["batch_id"])
+        out = df.select(
+            "tile_id",
+            "channel",
+            F.size("block").cast("long").alias("n_px"),
+            F.expr(
+                "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
+            ).alias("sum_x2"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _store_changes_sql() -> str:
+    W = GRID.chunk_px
+    ta = GRID.tiles_overlapping_bbox(*ZONAL_ROIS[0])
+    tb = GRID.tiles_overlapping_bbox(*CDC_ROI_B)
+    in_a = (
+        f"(tx BETWEEN {ta[:, 0].min()} AND {ta[:, 0].max()} "
+        f"AND ty BETWEEN {ta[:, 1].min()} AND {ta[:, 1].max()})"
+    )
+    in_b = (
+        f"(tx BETWEEN {tb[:, 0].min()} AND {tb[:, 0].max()} "
+        f"AND ty BETWEEN {tb[:, 1].min()} AND {tb[:, 1].max()})"
+    )
+    return f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {in_b} AND NOT {in_a}
+),
+px AS (
+  SELECT z.tile_id, ch.channel,
+         CAST(z.ty * 1000 + z.tx AS DOUBLE) + 0.5 * CAST(p.i AS DOUBLE) AS val
+  FROM ztf z
+  CROSS JOIN (VALUES ('dem'), ('mask')) ch(channel)
+  CROSS JOIN (SELECT range AS i FROM range({W * W})) p
+)
+SELECT tile_id, channel,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(val) * 2.0 AS BIGINT) AS sum_x2
+FROM px
+GROUP BY 1, 2
+"""
+
+
+SQL_STORE_CHANGES = _store_changes_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -4188,6 +4366,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_plan_polygon": q_chunk_plan_polygon,
     "zonal_polygon_stats": q_zonal_polygon_stats,
     "typed_cube_stats": q_typed_cube_stats,
+    "range_scan_stats": q_range_scan_stats,
+    "store_changes": q_store_changes,
     "cell_polyfill": q_cell_polyfill,
     "event_durations": q_event_durations,
     "antimeridian_norm": q_antimeridian,
@@ -4285,6 +4465,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "chunk_plan_polygon",
     "zonal_polygon_stats",
     "typed_cube_stats",
+    "range_scan_stats",
+    "store_changes",
     "cell_polyfill",
     "inverted_index",
     "contamination_overlap",
@@ -4382,6 +4564,8 @@ ORACLES: dict[str, str] = {
     "chunk_plan_polygon": SQL_CHUNK_PLAN_POLYGON,
     "zonal_polygon_stats": SQL_ZONAL_POLYGON_STATS,
     "typed_cube_stats": SQL_TYPED_CUBE_STATS,
+    "range_scan_stats": SQL_RANGE_SCAN_STATS,
+    "store_changes": SQL_STORE_CHANGES,
     "cell_polyfill": SQL_CELL_POLYFILL,
     "event_durations": SQL_EVENT_DURATIONS,
     "antimeridian_norm": SQL_ANTIMERIDIAN,

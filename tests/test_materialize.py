@@ -866,3 +866,125 @@ class TestChannelDtypes:
             if s.startswith("dt-")
         }
         assert leaves == {"dt-boolean"}
+
+
+def test_zone_map_stats_and_value_range_pruning(spark, cube):
+    """Write path computes per-chunk zone maps in-plan; chunk_stats
+    reads them column-pruned; load(value_range=) prunes chunks whose
+    bounds miss the range and returns EXACTLY the blocks an unpruned
+    scan + per-pixel membership would keep."""
+    from smart_geocubes_spark.plans.materialize import chunk_stats
+
+    materialize(spark, cube, ROI_A)
+    st = chunk_stats(spark, cube, ROI_A).toPandas()
+    assert len(st) == 18  # 9 tiles x 2 channels
+    for r in st.itertuples():
+        off = 500000.0 if r.channel == "slope" else 0.0
+        base = float(r.tile_y * 1000 + r.tile_x) + off
+        assert r.v_min == base
+        assert r.v_max == base + 4999.5
+        assert r.n_valid == 10000
+    # bounds disjoint from every chunk -> zero rows, schema intact
+    empty = load(spark, cube, ROI_A, value_range=(1e7, 2e7))
+    assert empty.count() == 0
+    assert "block" in empty.columns and "chunk_key" in empty.columns
+    # [8500, 9000] only intersects dem's ty=4 row (max value 9003.5;
+    # ty=3 tops out at 8003.5; slope sits 500000 higher): 3 chunks
+    pruned = load(spark, cube, ROI_A, value_range=(8500.0, 9000.0))
+    surv = pruned.select("tile_y", "tile_x", "channel").toPandas()
+    assert len(surv) == 3
+    assert set(surv.tile_y) == {4} and set(surv.channel) == {"dem"}
+    # equivalence vs the unpruned scan under the exact pixel filter
+    pred = "size(filter(block, x -> x >= 8500.0D AND x <= 9000.0D))"
+    a = {
+        (r["chunk_key"], r["n"])
+        for r in pruned.selectExpr("chunk_key", f"{pred} AS n").collect()
+        if r["n"] > 0
+    }
+    b = {
+        (r["chunk_key"], r["n"])
+        for r in load(spark, cube, ROI_A)
+        .selectExpr("chunk_key", f"{pred} AS n")
+        .collect()
+        if r["n"] > 0
+    }
+    assert a == b and len(a) > 0
+
+
+def test_zone_map_nan_borders_and_compaction_carry(spark, cube):
+    """NaN border pixels (merge-on-write patches) are excluded from the
+    bounds; compaction rewrites carry the stats columns through."""
+    from smart_geocubes_spark.plans.materialize import (
+        chunk_stats,
+        compact,
+        materialize_patch,
+    )
+
+    # patch covers x in [2.0, 2.5) of tile (tx=2, ty=2): 50 of 100
+    # pixel columns -> 5000 valid pixels, the rest NaN borders
+    materialize_patch(spark, cube, (2.0, 17.0, 2.5, 18.0), "p1", value_offset=7.0)
+    st = chunk_stats(spark, cube, (2.1, 17.2, 2.4, 17.8)).toPandas()
+    assert len(st) == 2  # one tile x 2 channels
+    assert (st.n_valid == 5000).all()
+    for r in st.itertuples():  # value_offset folded into the bounds
+        off = 500000.0 if r.channel == "slope" else 0.0
+        assert r.v_min == 2 * 1000.0 + 2 + 7.0 + off
+    # the boundary-touched neighbor tile (tx2, ty3) is an ALL-NaN
+    # border chunk: bounds (NULL, NULL, 0) — prunable by ANY range,
+    # distinct from the legacy all-NULL "unknown" row
+    st_nan = chunk_stats(spark, cube, (2.1, 16.2, 2.4, 16.8)).toPandas()
+    assert len(st_nan) == 2
+    assert (st_nan.n_valid == 0).all() and st_nan.v_min.isna().all()
+    from smart_geocubes_spark.plans.materialize import load as load_blocks
+
+    assert (
+        load_blocks(
+            spark, cube, (2.1, 16.2, 2.4, 16.8), value_range=(-1e9, 1e9)
+        ).count()
+        == 0
+    )
+    # fill the rest, compact, and re-read: every visible chunk still
+    # carries known bounds (NULL would mean the rewrite dropped them)
+    materialize(spark, cube, ROI_A)
+    assert compact(spark, cube)["batch_id"] is not None
+    st2 = chunk_stats(spark, cube, ROI_A)
+    assert st2.filter("v_min IS NULL AND n_valid IS NULL").count() == 0
+    assert st2.count() == 18
+
+
+def test_load_changes_cdc(spark, cube):
+    """Provenance CDC: fills report their delta, compaction (verbatim
+    rewrite) reports zero, a patch merge reports its footprint."""
+    from smart_geocubes_spark.plans.materialize import (
+        compact,
+        load_changes,
+        materialize_patch,
+    )
+
+    m1 = materialize(spark, cube, ROI_A)  # tiles tx2-4 x ty2-4
+    m2 = materialize(spark, cube, ROI_B)  # adds B-minus-A only
+    assert m2["written"] == 16  # 8 new tiles x 2 channels
+    ch = load_changes(spark, cube, ROI_B, m1["batch_id"])
+    assert ch.count() == 16
+    # the changed blocks carry real content (not just keys)
+    assert ch.selectExpr("size(block) AS n").filter("n != 10000").count() == 0
+    # unknown snapshot raises (silent empty would read as "no changes")
+    with pytest.raises(ValueError):
+        load_changes(spark, cube, ROI_A, "nope")
+    # compaction rewrites every chunk under a new batch_id but carries
+    # src_batch: zero changes since the last fill
+    assert compact(spark, cube)["batch_id"] is not None
+    assert load_changes(spark, cube, ROI_B, m2["batch_id"]).count() == 0
+    # and the m1 -> m2 delta is still visible ACROSS the compaction
+    assert load_changes(spark, cube, ROI_B, m1["batch_id"]).count() == 16
+    # a patch after compaction changes pixels -> exactly its chunks
+    # patch touches tiles (tx2, ty2) and — via the miny=17.0 tile-edge
+    # boundary — (tx2, ty3), whose pixels all fall OUTSIDE the patch
+    # (an all-NaN border chunk, the reference's nan-border shape)
+    mp = materialize_patch(
+        spark, cube, (2.0, 17.0, 2.5, 18.0), "pX", value_offset=3.0
+    )
+    ch2 = load_changes(spark, cube, ROI_A, m2["batch_id"])
+    assert ch2.count() == mp["written"] == 4
+    rows = ch2.select("tile_y", "tile_x").distinct().collect()
+    assert {(r["tile_y"], r["tile_x"]) for r in rows} == {(2, 2), (3, 2)}

@@ -637,3 +637,41 @@ def test_typed_load_prunes_every_dtype_leaf(spark, tmp_path):
         both._jdf.queryExecution(), "formatted"
     )
     assert "array<float>" in bplan and "array<boolean>" in bplan
+
+
+def test_zone_map_stats_scan_never_reads_blocks(spark, tmp_path):
+    """chunk_stats is a metadata read: no leaf scan's ReadSchema may
+    contain the block array column. load(value_range=) narrows the
+    pushed tile_id IN list to the surviving tiles only."""
+    from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        chunk_stats,
+        create_cube,
+        load,
+        materialize,
+    )
+
+    grid = TileGrid(
+        geobox=GeoBox(crs="EPSG:4326", x0=0.0, y0=20.0, res=0.01, width=2000, height=2000),
+        chunk_px=100,
+    )
+    path = str(tmp_path / "zcube")
+    create_cube(path, CubeSpec(grid=grid, channels=("dem",), time_epochs=None))
+    roi = (2.3, 15.2, 4.8, 17.9)  # tiles tx 2..4, ty 2..4
+    materialize(spark, path, roi)
+    sdf = chunk_stats(spark, path, roi)
+    splan = sdf._sc._jvm.PythonSQLUtils.explainString(
+        sdf._jdf.queryExecution(), "formatted"
+    )
+    for seg in splan.split("ReadSchema: ")[1:]:
+        assert "block:array" not in seg.split("\n", 1)[0]
+    assert "v_min" in splan and "n_valid" in splan
+    # value range only the ty=4 row can satisfy -> blocks scan pushes
+    # In(tile_id, [82,83,84]), not the 9-tile ROI list
+    df = load(spark, path, roi, value_range=(8500.0, 9000.0))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "[82,83,84]" in plan
+    assert "[42,43,44,62,63,64,82,83,84]" not in plan
