@@ -1439,6 +1439,139 @@ def load_changes(
 
 
 # ---------------------------------------------------------------------------
+# store-backed overview pyramids (COG-overview / zarr-pyramid role)
+# ---------------------------------------------------------------------------
+
+
+def _downsample_sql(W: int, f: int) -> str:
+    """Factor-``f`` average-downsample of a row-major W x W block as ONE
+    JVM codegen expression (no Python hop, no shuffle): overview pixel
+    j = (r0, c0) averages its f x f source window, VALID-aware — NULL
+    and NaN source pixels (patch borders) are excluded, an all-invalid
+    window stays NULL. The sum/count pair rides one named_struct
+    accumulator so the filtered window array is built exactly once."""
+    if W % f != 0:
+        raise ValueError(f"factor {f} does not divide chunk_px {W}")
+    w2 = W // f
+    win = ", ".join(
+        f"block[({f} * (j DIV {w2}) + {dr}) * {W} + {f} * (j % {w2}) + {dc}]"
+        for dr in range(f)
+        for dc in range(f)
+    )
+    return f"""transform(sequence(0, {w2 * w2 - 1}), j ->
+      aggregate(
+        filter(array({win}), x -> x IS NOT NULL AND NOT isnan(x)),
+        named_struct('s', CAST(0.0 AS DOUBLE), 'c', 0),
+        (a, x) -> named_struct('s', a.s + x, 'c', a.c + 1),
+        a -> IF(a.c = 0, CAST(NULL AS DOUBLE), a.s / CAST(a.c AS DOUBLE))
+      ))"""
+
+
+OVERVIEW_SCHEMA = (
+    "tile_y long, tile_x long, tile_id long, time_idx int, channel string, "
+    "chunk_key string, block array<double>"
+)
+
+
+def build_overviews(
+    spark: SparkSession,
+    path: str,
+    factors: tuple[int, ...] = (2,),
+    roi_bbox=None,
+) -> dict:
+    """Materialize reduced-resolution levels of the VISIBLE cube (the
+    COG-overview role; the on-the-fly ``pyramid_overview`` operator's
+    store-backed sibling): one parquet level per factor under
+    ``overviews/f=<factor>/``, chunk-aligned (same tile grid, W/f px a
+    side), derived by the valid-aware average kernel above — an
+    all-JVM projection over the normal pruned scan, so a level build
+    is one scan + one write, no shuffle, no Python.
+
+    Levels are DERIVED data with overwrite semantics: meta records the
+    commit seq they were built at, and :func:`load_overview` refuses a
+    stale level loudly (a silently stale zoom-out is a wrong answer).
+    At 100 TB, rebuild levels per fill ROI — or compose with
+    :func:`load_changes` to re-derive only changed tiles — rather than
+    full-cube. Contract: one maintenance actor at a time (same as
+    compact/vacuum)."""
+    spec = open_spec(path)
+    gb = spec.grid.geobox
+    if roi_bbox is None:
+        roi_bbox = (
+            gb.x0,
+            gb.y0 - gb.height * gb.res,
+            gb.x0 + gb.width * gb.res,
+            gb.y0,
+        )
+    seqs = _commit_seqs(path) or {}
+    built_at = max(seqs.values(), default=0)
+    src = load(spark, path, roi_bbox)
+    n = 0
+    for f in factors:
+        expr = _downsample_sql(spec.grid.chunk_px, int(f))
+        out = src.select(
+            "tile_y", "tile_x", "tile_id", "time_idx", "channel", "chunk_key",
+            F.expr(expr).alias("block"),
+        )
+        d = os.path.join(path, "overviews", f"f={int(f)}")
+        out.write.mode("overwrite").parquet(d)
+        with open(os.path.join(d, "_overview.json"), "w") as fh:
+            json.dump(
+                {"factor": int(f), "chunk_px": spec.grid.chunk_px // int(f),
+                 "built_at_seq": built_at},
+                fh,
+            )
+        n += 1
+    return {"levels": n, "built_at_seq": built_at}
+
+
+def load_overview(
+    spark: SparkSession,
+    path: str,
+    roi_bbox,
+    factor: int,
+    channels: list[str] | None = None,
+) -> DataFrame:
+    """ROI read of a pyramid level: same tile pruning as :func:`load`
+    (overview chunks keep their source tile ids), 1/f^2 the pixels per
+    chunk. Raises on a missing or STALE level (commits landed after the
+    build) — zoomed-out reads must never silently serve old data."""
+    spec = open_spec(path)
+    d = os.path.join(path, "overviews", f"f={int(factor)}")
+    meta_p = os.path.join(d, "_overview.json")
+    if not os.path.exists(meta_p):
+        raise ValueError(
+            f"no overview level f={factor}; run build_overviews first"
+        )
+    with open(meta_p) as fh:
+        meta = json.load(fh)
+    seqs = _commit_seqs(path) or {}
+    cur = max(seqs.values(), default=0)
+    if cur > meta["built_at_seq"]:
+        raise ValueError(
+            f"overview f={factor} is stale (built at seq "
+            f"{meta['built_at_seq']}, cube at {cur}); rebuild first"
+        )
+    nx = spec.grid.n_tiles_x
+    items, _ = _roi_items(roi_bbox)
+    tile_ids = sorted(
+        {int(ty * nx + tx) for it in items for tx, ty in _item_tiles(spec.grid, it)}
+    )
+    if not tile_ids:
+        raise ValueError("ROI does not intersect the cube extent")
+    df = spark.read.schema(OVERVIEW_SCHEMA).parquet(d)
+    df = df.filter(F.col("tile_id").isin(tile_ids))
+    if channels is not None:
+        unknown = [c for c in channels if c not in spec.channels]
+        if unknown:
+            raise ValueError(
+                f"unknown channels {unknown}; cube has {list(spec.channels)}"
+            )
+        df = df.filter(F.col("channel").isin(list(channels)))
+    return df
+
+
+# ---------------------------------------------------------------------------
 # maintenance: compaction + vacuum (the 100-TB small-file story)
 # ---------------------------------------------------------------------------
 # Incremental fills accumulate one blocks/lineage batch dir per run; at

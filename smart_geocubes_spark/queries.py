@@ -4346,6 +4346,81 @@ GROUP BY 1, 2
 SQL_STORE_CHANGES = _store_changes_sql()
 
 
+def q_overview_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORE-BACKED PYRAMID under the driver hash: fill a cube, build
+    the factor-2 overview level (valid-aware 2x2 mean, one all-JVM
+    codegen projection — no Python, no shuffle), read it back through
+    load_overview and fold integer stats. Overview values are exact
+    eighths (mean of 4 half-step values), so sum*8 is an exact BIGINT
+    in any accumulation order; the oracle re-derives every overview
+    pixel from the closed form base + 100*r0 + c0 + 25.25 (the 2x2
+    window's average source index) — an independent derivation, not a
+    replay of the engine expression."""
+    import shutil
+    import tempfile
+
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        build_overviews,
+        create_cube,
+        load_overview,
+        materialize,
+    )
+
+    root = tempfile.mkdtemp(prefix="ovcube_")
+    try:
+        path = root + "/cube"
+        create_cube(
+            path,
+            CubeSpec(grid=GRID, channels=("dem", "mask"), time_epochs=None),
+        )
+        materialize(spark, path, ZONAL_ROIS[0])
+        build_overviews(spark, path, factors=(2,))
+        df = load_overview(spark, path, ZONAL_ROIS[0], 2)
+        out = df.select(
+            "tile_id",
+            "channel",
+            F.size("block").cast("long").alias("n_px"),
+            F.expr(
+                "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 8.0 AS BIGINT)"
+            ).alias("sum_x8"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _overview_store_sql() -> str:
+    W2 = GRID.chunk_px // 2
+    return f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {_zonal_tile_ranges()[0]}
+),
+px AS (
+  SELECT z.tile_id, ch.channel,
+         CAST(z.ty * 1000 + z.tx AS DOUBLE)
+           + 100.0 * CAST(floor(CAST(p.j AS DOUBLE) / {W2}.0) AS DOUBLE)
+           + CAST(p.j % {W2} AS DOUBLE) + 25.25 AS val
+  FROM ztf z
+  CROSS JOIN (VALUES ('dem'), ('mask')) ch(channel)
+  CROSS JOIN (SELECT range AS j FROM range({W2 * W2})) p
+)
+SELECT tile_id, channel,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(val) * 8.0 AS BIGINT) AS sum_x8
+FROM px
+GROUP BY 1, 2
+"""
+
+
+SQL_OVERVIEW_STORE = _overview_store_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -4368,6 +4443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "typed_cube_stats": q_typed_cube_stats,
     "range_scan_stats": q_range_scan_stats,
     "store_changes": q_store_changes,
+    "overview_store": q_overview_store,
     "cell_polyfill": q_cell_polyfill,
     "event_durations": q_event_durations,
     "antimeridian_norm": q_antimeridian,
@@ -4467,6 +4543,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "typed_cube_stats",
     "range_scan_stats",
     "store_changes",
+    "overview_store",
     "cell_polyfill",
     "inverted_index",
     "contamination_overlap",
@@ -4566,6 +4643,7 @@ ORACLES: dict[str, str] = {
     "typed_cube_stats": SQL_TYPED_CUBE_STATS,
     "range_scan_stats": SQL_RANGE_SCAN_STATS,
     "store_changes": SQL_STORE_CHANGES,
+    "overview_store": SQL_OVERVIEW_STORE,
     "cell_polyfill": SQL_CELL_POLYFILL,
     "event_durations": SQL_EVENT_DURATIONS,
     "antimeridian_norm": SQL_ANTIMERIDIAN,

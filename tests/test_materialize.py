@@ -988,3 +988,67 @@ def test_load_changes_cdc(spark, cube):
     assert ch2.count() == mp["written"] == 4
     rows = ch2.select("tile_y", "tile_x").distinct().collect()
     assert {(r["tile_y"], r["tile_x"]) for r in rows} == {(2, 2), (3, 2)}
+
+
+def test_store_overviews_build_load_and_staleness(spark, cube):
+    """Store-backed pyramid: factor-2 level holds the valid-aware 2x2
+    mean per chunk; a commit after the build makes the level loudly
+    stale; rebuild serves the new tiles."""
+    import numpy as np
+
+    from smart_geocubes_spark.plans.materialize import (
+        build_overviews,
+        load_overview,
+    )
+
+    materialize(spark, cube, ROI_A)
+    info = build_overviews(spark, cube, factors=(2,))
+    assert info["levels"] == 1
+    df = load_overview(spark, cube, ROI_A, 2)
+    assert df.count() == 18
+    r = df.filter("tile_y = 3 AND tile_x = 2 AND channel = 'dem'").collect()[0]
+    block = np.array(r["block"], dtype=np.float64)
+    assert block.size == 2500
+    full = 3 * 1000.0 + 2 + 0.5 * np.arange(10000, dtype=np.float64).reshape(100, 100)
+    exp = full.reshape(50, 2, 50, 2).mean(axis=(1, 3))
+    assert np.array_equal(block.reshape(50, 50), exp)
+    # missing factor raises; stale level raises after a new commit
+    with pytest.raises(ValueError):
+        load_overview(spark, cube, ROI_A, 4)
+    materialize(spark, cube, ROI_B)
+    with pytest.raises(ValueError):
+        load_overview(spark, cube, ROI_A, 2)
+    build_overviews(spark, cube, factors=(2,))
+    assert load_overview(spark, cube, ROI_B, 2).count() == 24  # 12 tiles x 2ch
+    # channel projection + unknown-channel guard
+    assert load_overview(spark, cube, ROI_B, 2, channels=["dem"]).count() == 12
+    with pytest.raises(ValueError):
+        load_overview(spark, cube, ROI_B, 2, channels=["nope"])
+
+
+def test_overview_nan_borders_average_valid_only(spark, cube):
+    """A patch-border chunk's overview pixels average only the valid
+    source pixels; fully-invalid windows stay NULL."""
+    import numpy as np
+
+    from smart_geocubes_spark.plans.materialize import (
+        build_overviews,
+        load_overview,
+        materialize_patch,
+    )
+
+    materialize_patch(spark, cube, (2.0, 17.0, 2.5, 18.0), "p1", value_offset=7.0)
+    build_overviews(spark, cube, factors=(2,))
+    r = (
+        load_overview(spark, cube, (2.1, 17.2, 2.4, 17.8), 2)
+        .filter("channel = 'dem'")
+        .collect()[0]
+    )
+    block = np.array(r["block"], dtype=np.float64).reshape(50, 50)
+    # valid source columns are x < 2.5 -> cols 0..49 -> overview cols
+    # 0..24 fully valid, 25..49 fully NaN windows -> NULL -> np.nan
+    assert not np.isnan(block[:, :25]).any()
+    assert np.isnan(block[:, 25:]).all()
+    full = 2 * 1000.0 + 2 + 7.0 + 0.5 * np.arange(10000, dtype=np.float64).reshape(100, 100)
+    exp = full.reshape(50, 2, 50, 2).mean(axis=(1, 3))
+    assert np.array_equal(block[:, :25], exp[:, :25])
