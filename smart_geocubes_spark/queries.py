@@ -4421,6 +4421,76 @@ GROUP BY 1, 2
 SQL_OVERVIEW_STORE = _overview_store_sql()
 
 
+def q_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP ALGEBRA over the store: fill a two-band cube (dem at offset
+    0, slope at +500000 — distinct values per band), pair the bands
+    with ONE hash aggregate on the chunk coordinate (no self-join; both
+    bands ride the same pruned scan) and combine per pixel with a JVM
+    zip_with (x + 2y — half-step-exact, so sum*2 is an exact BIGINT in
+    any order). The oracle replays every pixel from the closed form
+    3*base + 1000000 + 1.5*i."""
+    import shutil
+    import tempfile
+
+    from smart_geocubes_spark.operators.algebra import band_math
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        load,
+        materialize,
+    )
+
+    root = tempfile.mkdtemp(prefix="bandmath_")
+    try:
+        path = root + "/cube"
+        create_cube(
+            path,
+            CubeSpec(grid=GRID, channels=("dem", "slope"), time_epochs=None),
+        )
+        materialize(spark, path, ZONAL_ROIS[0])
+        blocks = load(spark, path, ZONAL_ROIS[0])
+        out = band_math(blocks, "dem", "slope", "(x, y) -> x + 2.0D * y")
+        res = out.select(
+            "tile_id",
+            F.size("block").cast("long").alias("n_px"),
+            F.expr(
+                "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
+            ).alias("sum_x2"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _band_math_sql() -> str:
+    W = GRID.chunk_px
+    return f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {_zonal_tile_ranges()[0]}
+),
+px AS (
+  SELECT z.tile_id,
+         3.0 * CAST(z.ty * 1000 + z.tx AS DOUBLE) + 1000000.0
+           + 1.5 * CAST(p.i AS DOUBLE) AS val
+  FROM ztf z
+  CROSS JOIN (SELECT range AS i FROM range({W * W})) p
+)
+SELECT tile_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(val) * 2.0 AS BIGINT) AS sum_x2
+FROM px
+GROUP BY 1
+"""
+
+
+SQL_BAND_MATH = _band_math_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -4444,6 +4514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_scan_stats": q_range_scan_stats,
     "store_changes": q_store_changes,
     "overview_store": q_overview_store,
+    "band_math": q_band_math,
     "cell_polyfill": q_cell_polyfill,
     "event_durations": q_event_durations,
     "antimeridian_norm": q_antimeridian,
@@ -4544,6 +4615,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "range_scan_stats",
     "store_changes",
     "overview_store",
+    "band_math",
     "cell_polyfill",
     "inverted_index",
     "contamination_overlap",
@@ -4644,6 +4716,7 @@ ORACLES: dict[str, str] = {
     "range_scan_stats": SQL_RANGE_SCAN_STATS,
     "store_changes": SQL_STORE_CHANGES,
     "overview_store": SQL_OVERVIEW_STORE,
+    "band_math": SQL_BAND_MATH,
     "cell_polyfill": SQL_CELL_POLYFILL,
     "event_durations": SQL_EVENT_DURATIONS,
     "antimeridian_norm": SQL_ANTIMERIDIAN,

@@ -675,3 +675,45 @@ def test_zone_map_stats_scan_never_reads_blocks(spark, tmp_path):
     )
     assert "[82,83,84]" in plan
     assert "[42,43,44,62,63,64,82,83,84]" not in plan
+
+
+def test_band_math_single_shuffle_no_join(spark):
+    """Band pairing is ONE hash aggregate on the chunk coordinate, not a
+    self-join: no join nodes, no Python eval; the only data exchanges
+    are the aggregate's hashpartitioning (plus the documented
+    round-robin spread of the single-file driver parquet)."""
+    from smart_geocubes_spark.queries import q_band_math
+
+    df = q_band_math(spark, SF)
+    # localCheckpoint already ran; pin the OPERATOR plan instead
+    from smart_geocubes_spark.operators.algebra import band_math
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        load,
+        materialize,
+    )
+    from tests.test_materialize import ROI_A, SMALL_GRID
+
+    import tempfile, shutil
+    root = tempfile.mkdtemp(prefix="bmplan_")
+    try:
+        path = root + "/cube"
+        create_cube(
+            path, CubeSpec(grid=SMALL_GRID, channels=("dem", "slope"), time_epochs=None)
+        )
+        materialize(spark, path, ROI_A)
+        out = band_math(load(spark, path, ROI_A), "dem", "slope", "(x, y) -> x + y")
+        plan = plan_of(out)
+        for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                    "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert bad not in plan, f"{bad} in band_math plan"
+        # winner semi-join is broadcast; the only BLOCK-carrying shuffle
+        # is the pairing aggregate (the other two hashpartitioning
+        # exchanges are the winner window's metadata-sized lineage rows)
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("hashpartitioning") <= 3
+        assert "zip_with" in plan
+        assert df.count() > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
