@@ -217,6 +217,40 @@ class GeocubeAccessor:
         toi = self._normalize_toi(toi_epochs, toi_method)
         return chunk_stats(self.spark, self.path, roi, toi, channels=channels)
 
+    def build_overviews(self, factors: tuple[int, ...] = (2,), roi=None) -> dict:
+        """Materialize reduced-resolution pyramid levels (COG-overview
+        role); see plans.materialize.build_overviews."""
+        from smart_geocubes_spark.plans.materialize import build_overviews
+
+        self.assert_created()
+        return build_overviews(self.spark, self.path, factors=factors, roi_bbox=roi)
+
+    def load_overview(
+        self, roi: BBox | list[BBox], factor: int,
+        channels: list[str] | None = None,
+    ) -> DataFrame:
+        """ROI read of a pyramid level; raises on missing/stale levels."""
+        from smart_geocubes_spark.plans.materialize import load_overview
+
+        self.assert_created()
+        return load_overview(self.spark, self.path, roi, factor, channels=channels)
+
+    def load_changes(
+        self, roi: BBox | list[BBox], since_batch: str,
+        toi_epochs=None, toi_method: str = "nearest",
+        channels: list[str] | None = None,
+    ) -> DataFrame:
+        """Provenance CDC: visible blocks whose content changed after
+        the given snapshot; see plans.materialize.load_changes."""
+        from smart_geocubes_spark.plans.materialize import load_changes
+
+        self.assert_created()
+        toi = self._normalize_toi(toi_epochs, toi_method)
+        return load_changes(
+            self.spark, self.path, roi, since_batch,
+            toi_epochs=toi, channels=channels,
+        )
+
     def load_like(
         self, ref: DataFrame, persist: bool = False, buffer: int = 0
     ) -> DataFrame | pd.DataFrame:
