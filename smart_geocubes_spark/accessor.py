@@ -225,6 +225,14 @@ class GeocubeAccessor:
         self.assert_created()
         return build_overviews(self.spark, self.path, factors=factors, roi_bbox=roi)
 
+    def refresh_overviews(self, factors: tuple[int, ...] = (2,)) -> dict:
+        """Incremental pyramid refresh (CDC-composed): re-derives only
+        chunks changed since each level's build."""
+        from smart_geocubes_spark.plans.materialize import refresh_overviews
+
+        self.assert_created()
+        return refresh_overviews(self.spark, self.path, factors=factors)
+
     def load_overview(
         self, roi: BBox | list[BBox], factor: int,
         channels: list[str] | None = None,

@@ -1505,6 +1505,8 @@ def build_overviews(
         )
     seqs = _commit_seqs(path) or {}
     built_at = max(seqs.values(), default=0)
+    snaps = snapshots(path)
+    built_at_batch = snaps[-1]["batch_id"] if snaps else None
     src = load(spark, path, roi_bbox)
     n = 0
     for f in factors:
@@ -1518,11 +1520,97 @@ def build_overviews(
         with open(os.path.join(d, "_overview.json"), "w") as fh:
             json.dump(
                 {"factor": int(f), "chunk_px": spec.grid.chunk_px // int(f),
-                 "built_at_seq": built_at},
+                 "built_at_seq": built_at, "built_at_batch": built_at_batch},
                 fh,
             )
         n += 1
     return {"levels": n, "built_at_seq": built_at}
+
+
+def refresh_overviews(
+    spark: SparkSession, path: str, factors: tuple[int, ...] = (2,)
+) -> dict:
+    """INCREMENTAL level refresh via provenance CDC: re-derive only the
+    chunks whose content changed since each level was built
+    (:func:`load_changes`) and carry the rest of the level forward
+    untouched. At 100 TB a fill touches a tiny ROI, so refresh cost
+    tracks the FILL, not the cube — the full rebuild is the fallback
+    (missing level, pre-CDC meta, or the build snapshot vacuumed away).
+    A fresh level (no commits since) is a no-op.
+
+    Crash-safety (derived data): the merged level lands in a tmp dir,
+    then swaps in with two renames — a crash in the window loses only
+    the level (rebuildable), never cube data."""
+    spec = open_spec(path)
+    gb = spec.grid.geobox
+    full_bbox = (
+        gb.x0, gb.y0 - gb.height * gb.res, gb.x0 + gb.width * gb.res, gb.y0,
+    )
+    seqs = _commit_seqs(path) or {}
+    cur_seq = max(seqs.values(), default=0)
+    changed_total = 0
+    levels = 0
+    for f in factors:
+        f = int(f)
+        d = os.path.join(path, "overviews", f"f={f}")
+        meta_p = os.path.join(d, "_overview.json")
+        meta = None
+        if os.path.exists(meta_p):
+            with open(meta_p) as fh:
+                meta = json.load(fh)
+        since = (meta or {}).get("built_at_batch")
+        if meta is None or since is None:
+            build_overviews(spark, path, factors=(f,))
+            levels += 1
+            continue
+        if meta["built_at_seq"] >= cur_seq:
+            levels += 1  # already current
+            continue
+        try:
+            ch = load_changes(spark, path, full_bbox, since)
+        except ValueError:  # snapshot vacuumed away: rebuild
+            build_overviews(spark, path, factors=(f,))
+            levels += 1
+            continue
+        cols = ["tile_y", "tile_x", "tile_id", "time_idx", "channel", "chunk_key"]
+        new_part = ch.select(
+            *cols, F.expr(_downsample_sql(spec.grid.chunk_px, f)).alias("block")
+        ).localCheckpoint(eager=True)  # feeds the count AND the merged write
+        n_changed = new_part.count()
+        changed_total += n_changed
+        snaps = snapshots(path)
+        new_meta = {
+            "factor": f, "chunk_px": spec.grid.chunk_px // f,
+            "built_at_seq": cur_seq,
+            "built_at_batch": snaps[-1]["batch_id"] if snaps else None,
+        }
+        if n_changed == 0:
+            # nothing to merge (e.g. only a compaction landed): the
+            # level content is already correct — just advance the meta
+            with open(meta_p, "w") as fh:
+                json.dump(new_meta, fh)
+            levels += 1
+            continue
+        keep = (
+            spark.read.schema(OVERVIEW_SCHEMA)
+            .parquet(d)
+            .join(
+                F.broadcast(new_part.select("chunk_key")), "chunk_key", "left_anti"
+            )
+        )
+        out = keep.select(*cols, "block").unionByName(new_part.select(*cols, "block"))
+        tmp = d + f".tmp-{uuid.uuid4().hex[:8]}"
+        out.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_overview.json"), "w") as fh:
+            json.dump(new_meta, fh)
+        trash = d + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(d, trash)
+        os.rename(tmp, d)
+        import shutil
+
+        shutil.rmtree(trash, ignore_errors=True)
+        levels += 1
+    return {"levels": levels, "changed_chunks": changed_total}
 
 
 def load_overview(

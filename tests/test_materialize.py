@@ -1052,3 +1052,66 @@ def test_overview_nan_borders_average_valid_only(spark, cube):
     full = 2 * 1000.0 + 2 + 7.0 + 0.5 * np.arange(10000, dtype=np.float64).reshape(100, 100)
     exp = full.reshape(50, 2, 50, 2).mean(axis=(1, 3))
     assert np.array_equal(block[:, :25], exp[:, :25])
+
+
+def test_refresh_overviews_incremental_matches_full(spark, cube):
+    """CDC-composed level refresh: only changed chunks re-derive; the
+    merged level is bit-identical to a full rebuild; a compaction-only
+    delta advances freshness without touching content."""
+    from smart_geocubes_spark.plans.materialize import (
+        build_overviews,
+        compact,
+        load_overview,
+        refresh_overviews,
+    )
+
+    big = (2.0, 14.0, 7.0, 18.0)
+    materialize(spark, cube, ROI_A)
+    build_overviews(spark, cube, factors=(2,))
+    materialize(spark, cube, ROI_B)
+    r = refresh_overviews(spark, cube, factors=(2,))
+    assert r["changed_chunks"] == 16  # exactly the second fill's delta
+    inc = {
+        (row["chunk_key"], row["s"])
+        for row in load_overview(spark, cube, big, 2)
+        .selectExpr(
+            "chunk_key",
+            "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 8.0 AS BIGINT) AS s",
+        )
+        .collect()
+    }
+    assert len(inc) == 34  # 18 + 16 chunks
+    # full rebuild produces the identical level
+    build_overviews(spark, cube, factors=(2,))
+    full = {
+        (row["chunk_key"], row["s"])
+        for row in load_overview(spark, cube, big, 2)
+        .selectExpr(
+            "chunk_key",
+            "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 8.0 AS BIGINT) AS s",
+        )
+        .collect()
+    }
+    assert inc == full
+    # fresh level -> no-op refresh
+    assert refresh_overviews(spark, cube, factors=(2,))["changed_chunks"] == 0
+    # compaction makes the level STALE by seq but changes no content:
+    # refresh advances the meta without re-deriving anything
+    assert compact(spark, cube)["batch_id"] is not None
+    with pytest.raises(ValueError):
+        load_overview(spark, cube, ROI_A, 2)
+    r2 = refresh_overviews(spark, cube, factors=(2,))
+    assert r2["changed_chunks"] == 0
+    assert {
+        (row["chunk_key"], row["s"])
+        for row in load_overview(spark, cube, big, 2)
+        .selectExpr(
+            "chunk_key",
+            "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 8.0 AS BIGINT) AS s",
+        )
+        .collect()
+    } == full
+    # a missing level falls back to a full build
+    r3 = refresh_overviews(spark, cube, factors=(4,))
+    assert r3["levels"] == 1
+    assert load_overview(spark, cube, ROI_A, 4).count() == 18
