@@ -4491,6 +4491,82 @@ GROUP BY 1
 SQL_BAND_MATH = _band_math_sql()
 
 
+def q_temporal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL COMPOSITE over the real store: fill a 4-step temporal
+    cube through materialize (blocks shift +10/step), load it back, and
+    reduce per pixel across time with the all-JVM lower-median gather
+    (one shuffle; sort of T=4 values per pixel inside codegen). With
+    monotone time shifts the lower median is exactly the t=1 step, so
+    the oracle replays base + off + 0.5*i + 10 per pixel — a wrong
+    sort, an off-by-one median index, or a missing time step all move
+    the hash."""
+    import shutil
+    import tempfile
+
+    from smart_geocubes_spark.operators.algebra import temporal_composite
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        load,
+        materialize,
+    )
+
+    root = tempfile.mkdtemp(prefix="tmedian_")
+    try:
+        path = root + "/cube"
+        create_cube(
+            path,
+            CubeSpec(
+                grid=GRID,
+                channels=("dem", "slope"),
+                time_epochs=tuple(CUBE_TIME_EPOCHS),
+            ),
+        )
+        materialize(spark, path, ZONAL_ROIS[2])
+        med = temporal_composite(load(spark, path, ZONAL_ROIS[2]), stat="median")
+        out = med.select(
+            "tile_id",
+            "channel",
+            F.size("block").cast("long").alias("n_px"),
+            F.expr(
+                "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
+            ).alias("sum_x2"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _temporal_median_sql() -> str:
+    W = GRID.chunk_px
+    return f"""WITH zt AS (
+  SELECT range % {GRID.n_tiles_x} AS tx,
+         CAST(floor(range / {GRID.n_tiles_x}.0) AS BIGINT) AS ty
+  FROM range({GRID.n_tiles_x * GRID.n_tiles_y})
+),
+ztf AS (
+  SELECT ty * {GRID.n_tiles_x} + tx AS tile_id, tx, ty FROM zt
+  WHERE {_zonal_tile_ranges()[2]}
+),
+px AS (
+  SELECT z.tile_id, ch.channel,
+         CAST(z.ty * 1000 + z.tx AS DOUBLE) + ch.off
+           + 0.5 * CAST(p.i AS DOUBLE) + 10.0 AS val
+  FROM ztf z
+  CROSS JOIN (VALUES ('dem', 0.0), ('slope', 500000.0)) ch(channel, off)
+  CROSS JOIN (SELECT range AS i FROM range({W * W})) p
+)
+SELECT tile_id, channel,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(val) * 2.0 AS BIGINT) AS sum_x2
+FROM px
+GROUP BY 1, 2
+"""
+
+
+SQL_TEMPORAL_MEDIAN = _temporal_median_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -4515,6 +4591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "store_changes": q_store_changes,
     "overview_store": q_overview_store,
     "band_math": q_band_math,
+    "temporal_median": q_temporal_median,
     "cell_polyfill": q_cell_polyfill,
     "event_durations": q_event_durations,
     "antimeridian_norm": q_antimeridian,
@@ -4616,6 +4693,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "store_changes",
     "overview_store",
     "band_math",
+    "temporal_median",
     "cell_polyfill",
     "inverted_index",
     "contamination_overlap",
@@ -4658,7 +4736,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "rolling_hash_fp",
     "temporal_max_mosaic",
     "image_resize",
-    "video_frame_sample",
     # dropped to fit the 50-slot window, by staleness math: focal_cube
     # and event_durations are r4-green (age 1); image_decode and
     # audio_features are r3-green but their r4-green siblings
@@ -4718,6 +4795,7 @@ ORACLES: dict[str, str] = {
     "store_changes": SQL_STORE_CHANGES,
     "overview_store": SQL_OVERVIEW_STORE,
     "band_math": SQL_BAND_MATH,
+    "temporal_median": SQL_TEMPORAL_MEDIAN,
     "cell_polyfill": SQL_CELL_POLYFILL,
     "event_durations": SQL_EVENT_DURATIONS,
     "antimeridian_norm": SQL_ANTIMERIDIAN,

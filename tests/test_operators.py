@@ -941,3 +941,49 @@ class TestFocalMean3:
         mask[-1, -1] = 1
         with _pytest.raises(ValueError, match="not a full rectangle"):
             _mean72_reduce(pad, mask, w)
+
+
+def test_temporal_composite_stats_and_invalid_pixels(spark):
+    """Lower-median/mean/min/max across time steps, per pixel, with
+    NULL and NaN steps excluded; a pixel with no valid step is NULL."""
+    import math
+
+    from smart_geocubes_spark.operators.algebra import temporal_composite
+
+    rows = [
+        (0, 0, 0, "c", 0, [1.0, None, 7.0]),
+        (0, 0, 0, "c", 1, [3.0, 5.0, float("nan")]),
+        (0, 0, 0, "c", 2, [2.0, float("nan"), None]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "tile_y long, tile_x long, tile_id long, channel string, "
+        "time_idx int, block array<double>",
+    )
+    got = {
+        s: temporal_composite(df, stat=s).collect()[0]["block"]
+        for s in ("median", "mean", "min", "max")
+    }
+    assert got["median"] == [2.0, 5.0, 7.0]
+    assert got["mean"] == [2.0, 5.0, 7.0]
+    assert got["min"] == [1.0, 5.0, 7.0]
+    assert got["max"] == [3.0, 5.0, 7.0]
+    # even T: LOWER median, deterministic
+    df4 = spark.createDataFrame(
+        [(0, 0, 0, "c", t, [float(v)]) for t, v in enumerate([4.0, 1.0, 3.0, 2.0])],
+        "tile_y long, tile_x long, tile_id long, channel string, "
+        "time_idx int, block array<double>",
+    )
+    assert temporal_composite(df4, "median").collect()[0]["block"] == [2.0]
+    # all-invalid pixel -> NULL
+    dfn = spark.createDataFrame(
+        [(0, 0, 0, "c", 0, [None, 1.0]), (0, 0, 0, "c", 1, [float("nan"), 2.0])],
+        "tile_y long, tile_x long, tile_id long, channel string, "
+        "time_idx int, block array<double>",
+    )
+    b = temporal_composite(dfn, "median").collect()[0]["block"]
+    assert b[0] is None and b[1] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temporal_composite(df, "mode")
