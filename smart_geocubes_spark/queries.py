@@ -4567,6 +4567,109 @@ GROUP BY 1, 2
 SQL_TEMPORAL_MEDIAN = _temporal_median_sql()
 
 
+def _regrid_target() -> "TileGrid":
+    from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
+
+    # same CRS/extent as GRID, coarser pixels (0.015 -> 0.025 deg) and a
+    # different chunking (96 px) — exercises non-integer pixel ratios
+    # AND chunk-boundary crossings in the cover join
+    return TileGrid(
+        geobox=GeoBox(crs="EPSG:4326", x0=-180.0, y0=84.0, res=0.025,
+                      width=14400, height=960),
+        chunk_px=96,
+    )
+
+
+def q_regrid_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-NEIGHBOR REGRID under the driver hash: fill a cube on
+    GRID, resample it onto a coarser differently-chunked grid (the
+    reference's reproject-match role) and fold per-(target tile,
+    channel) integer stats. Engine and oracle derive the source index
+    through the SAME generated affine fragments (regrid_index_sql /
+    the numpy mirror in operators/regrid.py), so boundary pixels agree
+    bit-for-bit; pixels over unfilled source chunks are NULL and
+    excluded on both sides."""
+    import shutil
+    import tempfile
+
+    from smart_geocubes_spark.operators.regrid import regrid_nearest
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        materialize,
+    )
+
+    root = tempfile.mkdtemp(prefix="regrid_")
+    try:
+        path = root + "/cube"
+        create_cube(
+            path,
+            CubeSpec(grid=GRID, channels=("dem", "slope"), time_epochs=None),
+        )
+        materialize(spark, path, ZONAL_ROIS[0])
+        out = regrid_nearest(spark, path, _regrid_target(), ZONAL_ROIS[0])
+        res = (
+            out.select(
+                "tile_id",
+                "channel",
+                F.expr(
+                    "size(filter(block, x -> x IS NOT NULL AND NOT isnan(x)))"
+                ).cast("long").alias("n_valid"),
+                F.expr(
+                    "CAST(aggregate(filter(block, x -> x IS NOT NULL AND "
+                    "NOT isnan(x)), 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
+                ).alias("sum_x2"),
+            )
+            .filter(F.col("n_valid") > 0)
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _regrid_store_sql() -> str:
+    from smart_geocubes_spark.operators.regrid import regrid_index_sql
+
+    tgt = _regrid_target()
+    frags = regrid_index_sql(tgt, GRID)
+    Wt, Ws = tgt.chunk_px, GRID.chunk_px
+    ta = GRID.tiles_overlapping_bbox(*ZONAL_ROIS[0])
+    tt = tgt.tiles_overlapping_bbox(*ZONAL_ROIS[0])
+    return f"""WITH tt AS (
+  SELECT txT, tyT FROM (SELECT range AS txT FROM range({tt[:, 0].min()}, {tt[:, 0].max() + 1}))
+  CROSS JOIN (SELECT range AS tyT FROM range({tt[:, 1].min()}, {tt[:, 1].max() + 1}))
+),
+px AS (
+  SELECT t.txT, t.tyT, p.j, ch.channel, ch.off,
+         {frags["col"]} AS scol,
+         {frags["row"]} AS srow
+  FROM tt t
+  CROSS JOIN (VALUES ('dem', 0.0), ('slope', 500000.0)) ch(channel, off)
+  CROSS JOIN (SELECT range AS j FROM range({Wt * Wt})) p
+),
+fx AS (
+  SELECT txT, tyT, channel,
+         CAST(floor(CAST(srow AS DOUBLE) / {Ws}.0) AS BIGINT) * 1000
+           + CAST(floor(CAST(scol AS DOUBLE) / {Ws}.0) AS BIGINT)
+           + off
+           + 0.5 * CAST((srow % {Ws}) * {Ws} + (scol % {Ws}) AS DOUBLE) AS val
+  FROM px
+  WHERE CAST(floor(CAST(scol AS DOUBLE) / {Ws}.0) AS BIGINT)
+          BETWEEN {ta[:, 0].min()} AND {ta[:, 0].max()}
+    AND CAST(floor(CAST(srow AS DOUBLE) / {Ws}.0) AS BIGINT)
+          BETWEEN {ta[:, 1].min()} AND {ta[:, 1].max()}
+)
+SELECT tyT * {tgt.n_tiles_x} + txT AS tile_id, channel,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(sum(val) * 2.0 AS BIGINT) AS sum_x2
+FROM fx
+GROUP BY 1, 2
+"""
+
+
+SQL_REGRID_STORE = _regrid_store_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -4592,6 +4695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overview_store": q_overview_store,
     "band_math": q_band_math,
     "temporal_median": q_temporal_median,
+    "regrid_store": q_regrid_store,
     "cell_polyfill": q_cell_polyfill,
     "event_durations": q_event_durations,
     "antimeridian_norm": q_antimeridian,
@@ -4694,6 +4798,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "overview_store",
     "band_math",
     "temporal_median",
+    "regrid_store",
     "cell_polyfill",
     "inverted_index",
     "contamination_overlap",
@@ -4735,7 +4840,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "cell_rollup",
     "rolling_hash_fp",
     "temporal_max_mosaic",
-    "image_resize",
     # dropped to fit the 50-slot window, by staleness math: focal_cube
     # and event_durations are r4-green (age 1); image_decode and
     # audio_features are r3-green but their r4-green siblings
@@ -4796,6 +4900,7 @@ ORACLES: dict[str, str] = {
     "overview_store": SQL_OVERVIEW_STORE,
     "band_math": SQL_BAND_MATH,
     "temporal_median": SQL_TEMPORAL_MEDIAN,
+    "regrid_store": SQL_REGRID_STORE,
     "cell_polyfill": SQL_CELL_POLYFILL,
     "event_durations": SQL_EVENT_DURATIONS,
     "antimeridian_norm": SQL_ANTIMERIDIAN,

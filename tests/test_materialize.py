@@ -1115,3 +1115,50 @@ def test_refresh_overviews_incremental_matches_full(spark, cube):
     r3 = refresh_overviews(spark, cube, factors=(4,))
     assert r3["levels"] == 1
     assert load_overview(spark, cube, ROI_A, 4).count() == 18
+
+
+def test_regrid_nearest_matches_affine_expectation(spark, cube):
+    """Nearest-neighbor regrid onto a coarser, differently-chunked grid:
+    every target pixel equals the source formula at the floor-mapped
+    index; pixels over unfilled source chunks are NULL; CRS mismatch
+    raises."""
+    import numpy as np
+
+    from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
+    from smart_geocubes_spark.operators.regrid import regrid_nearest
+
+    materialize(spark, cube, ROI_A)
+    target = TileGrid(
+        geobox=GeoBox(crs="EPSG:4326", x0=0.0, y0=20.0, res=0.025, width=800, height=800),
+        chunk_px=80,
+    )  # 2-deg tiles; ROI_A covers target tiles tx1-2 x ty1-2
+    out = regrid_nearest(spark, cube, target, ROI_A)
+    rows = out.filter("channel = 'dem'").collect()
+    assert len(rows) == 4
+    for r in rows:
+        txT, tyT = int(r["tile_x"]), int(r["tile_y"])
+        blk = np.array(
+            [v if v is not None else np.nan for v in r["block"]], dtype=np.float64
+        ).reshape(80, 80)
+        xs = (txT * 80 + np.arange(80) + 0.5) * 0.025
+        ys = 20.0 - (tyT * 80 + np.arange(80) + 0.5) * 0.025
+        col = np.floor(xs / 0.01).astype(np.int64)
+        row_ = np.floor((20.0 - ys) / 0.01).astype(np.int64)
+        SX, SY = np.meshgrid(col, row_)
+        sx, sy = SX // 100, SY // 100
+        filled = (sx >= 2) & (sx <= 4) & (sy >= 2) & (sy <= 4)
+        exp = np.where(
+            filled, sy * 1000.0 + sx + 0.5 * ((SY % 100) * 100 + (SX % 100)), np.nan
+        )
+        assert np.allclose(blk, exp, equal_nan=True)
+    with pytest.raises(ValueError):
+        regrid_nearest(
+            spark,
+            cube,
+            TileGrid(
+                geobox=GeoBox(crs="EPSG:3413", x0=0.0, y0=20.0, res=0.025,
+                              width=800, height=800),
+                chunk_px=80,
+            ),
+            ROI_A,
+        )
