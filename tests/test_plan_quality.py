@@ -717,3 +717,32 @@ def test_band_math_single_shuffle_no_join(spark):
         assert df.count() > 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_regrid_cover_join_is_broadcast_one_arrow_hop(spark, tmp_path):
+    """The (target tile -> source tile) cover joins the pruned scan as a
+    BROADCAST hash join (the pair list is metadata-sized), and the
+    whole assembly is exactly one Python node (FlatMapGroupsInPandas) —
+    no nested loop, no second shuffle of block data."""
+    from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
+    from smart_geocubes_spark.operators.regrid import regrid_nearest
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        materialize,
+    )
+    from tests.test_materialize import ROI_A, SMALL_GRID
+
+    path = str(tmp_path / "rgcube")
+    create_cube(path, CubeSpec(grid=SMALL_GRID, channels=("dem",), time_epochs=None))
+    materialize(spark, path, ROI_A)
+    target = TileGrid(
+        geobox=GeoBox(crs="EPSG:4326", x0=0.0, y0=20.0, res=0.025,
+                      width=800, height=800),
+        chunk_px=80,
+    )
+    plan = plan_of(regrid_nearest(spark, path, target, ROI_A))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
