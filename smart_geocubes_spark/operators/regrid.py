@@ -46,7 +46,18 @@ def regrid_index_sql(target: TileGrid, source: TileGrid) -> dict[str, str]:
     """The SHARED index derivation as SQL fragments over integer target
     coords (txT, tyT, j = target in-chunk pixel index): world center ->
     source global (col, row). One generator serves the numpy kernel's
-    math (same expression order) and the DuckDB oracle."""
+    math (same expression order) and the DuckDB oracle.
+
+    Cross-CRS (target projected, source EPSG:4326): the target center
+    is INVERSE-projected to lon/lat with the same closed forms
+    ``geo/projection.unproject`` evaluates — every constant is the
+    interpolated repr of the identical Python double, so both engines
+    run the same IEEE expression sequence (the ``tile_assign_polar``
+    precedent: residual risk is a floor flip within ~1 ulp of a pixel
+    boundary, vanishing on real-valued fixtures). Mercator only — the
+    3413 inverse is iterative and oracled at pytest level instead."""
+    import math
+
     gt, gs = target.geobox, source.geobox
     Wt = target.chunk_px
     # portable across Spark AND DuckDB (no DIV operator; % and floor
@@ -60,11 +71,24 @@ def regrid_index_sql(target: TileGrid, source: TileGrid) -> dict[str, str]:
     )
     x = f"({gt.x0!r} + {gcol} * {gt.res!r})"
     y = f"({gt.y0!r} - {grow} * {gt.res!r})"
+    if gt.crs == gs.crs:
+        lon, lat = x, y
+    elif gt.crs in ("EPSG:3857", "3857") and gs.crs in ("EPSG:4326", "4326"):
+        # mirror of unproject(..., "EPSG:3857"): every constant repr'd
+        from smart_geocubes_spark.geo.projection import _A
+
+        deg = math.degrees(1.0)
+        lon = f"(({x} / {_A!r}) * {deg!r})"
+        lat = f"((2.0 * atan(exp({y} / {_A!r})) - {math.pi / 2.0!r}) * {deg!r})"
+    else:
+        raise ValueError(
+            f"no SQL twin for target {gt.crs!r} over source {gs.crs!r}"
+        )
     return {
         "x": x,
         "y": y,
-        "col": f"CAST(floor(({x} - {gs.x0!r}) / {gs.res!r}) AS BIGINT)",
-        "row": f"CAST(floor(({gs.y0!r} - {y}) / {gs.res!r}) AS BIGINT)",
+        "col": f"CAST(floor(({lon} - {gs.x0!r}) / {gs.res!r}) AS BIGINT)",
+        "row": f"CAST(floor(({gs.y0!r} - {lat}) / {gs.res!r}) AS BIGINT)",
     }
 
 
@@ -78,18 +102,26 @@ def regrid_nearest(
 ) -> DataFrame:
     """Resample the cube's visible content onto ``target`` over the ROI.
 
-    Returns target-grid block rows (REGRID_SCHEMA). Raises on a CRS
-    mismatch — this operator is the same-CRS affine case; reprojection
-    between CRSs goes through ``geo/projection.py`` kernels first.
-    """
+    Returns target-grid block rows (REGRID_SCHEMA). Same-CRS targets
+    use the pure affine; a PROJECTED target over an EPSG:4326 cube
+    (3857 closed-form, 3413 iterative Snyder) inverse-projects each
+    target pixel center through ``geo/projection.unproject`` — the full
+    reproject-match role. Unsupported CRSs raise."""
     from smart_geocubes_spark.plans.materialize import load, open_spec
+
+    from smart_geocubes_spark.geo.projection import unproject
 
     spec = open_spec(path)
     src = spec.grid
-    if target.geobox.crs != src.geobox.crs:
+    cross_crs = target.geobox.crs != src.geobox.crs
+    if cross_crs and src.geobox.crs not in ("EPSG:4326", "4326"):
         raise ValueError(
-            f"CRS mismatch: cube {src.geobox.crs!r} vs target {target.geobox.crs!r}"
+            f"cross-CRS regrid needs an EPSG:4326 source cube (got "
+            f"{src.geobox.crs!r}); project the cube grid itself for other cases"
         )
+    if cross_crs:
+        # validates the target CRS is one the closed forms support
+        unproject(np.array([0.0]), np.array([0.0]), target.geobox.crs)
     t_tiles = target.tiles_overlapping_bbox(*roi_bbox)
     if len(t_tiles) == 0:
         raise ValueError("ROI does not intersect the target grid extent")
@@ -102,10 +134,26 @@ def regrid_nearest(
     for txT, tyT in t_tiles:
         minx = gt.x0 + float(txT) * Wt * gt.res
         maxy = gt.y0 - float(tyT) * Wt * gt.res
-        bbox = (
-            max(minx, sminx), max(maxy - Wt * gt.res, sminy),
-            min(minx + Wt * gt.res, smaxx), min(maxy, smaxy),
-        )
+        if not cross_crs:
+            bbox = (
+                max(minx, sminx), max(maxy - Wt * gt.res, sminy),
+                min(minx + Wt * gt.res, smaxx), min(maxy, smaxy),
+            )
+        else:
+            # lon/lat footprint of the PROJECTED tile: a 9x9 lattice of
+            # sample points (edges curve under the inverse projection —
+            # corners alone under-cover near high distortion), padded by
+            # two source pixels for the sampling slack
+            s = np.linspace(0.0, float(Wt), 9)
+            PX, PY = np.meshgrid(minx + s * gt.res, maxy - s * gt.res)
+            lon, lat = unproject(PX.ravel(), PY.ravel(), gt.crs)
+            pad = 2.0 * src.geobox.res
+            bbox = (
+                max(float(lon.min()) - pad, sminx),
+                max(float(lat.min()) - pad, sminy),
+                min(float(lon.max()) + pad, smaxx),
+                min(float(lat.max()) + pad, smaxy),
+            )
         if bbox[0] >= bbox[2] or bbox[1] >= bbox[3]:
             continue  # target tile entirely outside the source extent
         for sx, sy in src.tiles_overlapping_bbox(*bbox):
@@ -144,6 +192,8 @@ def regrid_nearest(
     sx0, sy0, sres = gs.x0, gs.y0, gs.res
     s_w, s_h = gs.width, gs.height
     t_nx = target.n_tiles_x
+    t_crs = gt.crs
+    mercator = cross_crs and t_crs in ("EPSG:3857", "3857")
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         txT = int(pdf["t_tx"].iloc[0])
@@ -154,8 +204,24 @@ def regrid_nearest(
         grow = np.float64(tyT * Wt) + np.floor(j / Wt) + 0.5
         x = tx0 + gcol * tres
         y = ty0 - grow * tres
-        col = np.floor((x - sx0) / sres).astype(np.int64)
-        row = np.floor((sy0 - y) / sres).astype(np.int64)
+        if not cross_crs:
+            lon, lat = x, y
+        elif mercator:
+            # written out (not unproject()) so the op order is the
+            # byte-identical twin of regrid_index_sql's fragments
+            import math as _math
+
+            from smart_geocubes_spark.geo.projection import _A
+
+            _deg = _math.degrees(1.0)
+            lon = (x / _A) * _deg
+            lat = (2.0 * np.arctan(np.exp(y / _A)) - _math.pi / 2.0) * _deg
+        else:
+            from smart_geocubes_spark.geo.projection import unproject as _unp
+
+            lon, lat = _unp(x, y, t_crs)
+        col = np.floor((lon - sx0) / sres).astype(np.int64)
+        row = np.floor((sy0 - lat) / sres).astype(np.int64)
         inside = (col >= 0) & (col < s_w) & (row >= 0) & (row < s_h)
         sx = np.where(inside, col // Ws, -1)
         sy = np.where(inside, row // Ws, -1)

@@ -4670,6 +4670,114 @@ GROUP BY 1, 2
 SQL_REGRID_STORE = _regrid_store_sql()
 
 
+def _regrid_merc_target() -> "TileGrid":
+    import numpy as np
+
+    from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
+    from smart_geocubes_spark.geo.projection import project
+
+    px, py = project(
+        np.array([-150.7, -148.2, -150.7, -148.2]),
+        np.array([62.3, 62.3, 64.9, 64.9]),
+        "EPSG:3857",
+    )
+    res = float(max(px.max() - px.min(), py.max() - py.min())) / 140.0
+    return TileGrid(
+        geobox=GeoBox(crs="EPSG:3857", x0=float(px.min()), y0=float(py.max()),
+                      res=res, width=150, height=150),
+        chunk_px=50,
+    )
+
+
+def q_regrid_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CRS regrid under the driver hash (the full reproject-match
+    role): a web-mercator target grid over the 4326 cube. Both engines
+    derive each target pixel's source index through the SAME generated
+    inverse-mercator expression sequence (regrid_index_sql emits the
+    atan/exp chain with every constant interpolated; the numpy kernel
+    mirrors it term for term), so the gathered half-step values — and
+    hence the integer stats — agree exactly."""
+    import shutil
+    import tempfile
+
+    from smart_geocubes_spark.operators.regrid import regrid_nearest
+    from smart_geocubes_spark.plans.materialize import (
+        CubeSpec,
+        create_cube,
+        materialize,
+    )
+
+    root = tempfile.mkdtemp(prefix="regridm_")
+    try:
+        path = root + "/cube"
+        create_cube(
+            path,
+            CubeSpec(grid=GRID, channels=("dem", "slope"), time_epochs=None),
+        )
+        materialize(spark, path, ZONAL_ROIS[0])
+        tgt = _regrid_merc_target()
+        out = regrid_nearest(spark, path, tgt, tgt.geobox.extent)
+        res = (
+            out.select(
+                "tile_id",
+                "channel",
+                F.expr(
+                    "size(filter(block, x -> x IS NOT NULL AND NOT isnan(x)))"
+                ).cast("long").alias("n_valid"),
+                F.expr(
+                    "CAST(aggregate(filter(block, x -> x IS NOT NULL AND "
+                    "NOT isnan(x)), 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
+                ).alias("sum_x2"),
+            )
+            .filter(F.col("n_valid") > 0)
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _regrid_mercator_sql() -> str:
+    from smart_geocubes_spark.operators.regrid import regrid_index_sql
+
+    tgt = _regrid_merc_target()
+    frags = regrid_index_sql(tgt, GRID)
+    Wt, Ws = tgt.chunk_px, GRID.chunk_px
+    ta = GRID.tiles_overlapping_bbox(*ZONAL_ROIS[0])
+    return f"""WITH tt AS (
+  SELECT txT, tyT FROM (SELECT range AS txT FROM range({tgt.n_tiles_x}))
+  CROSS JOIN (SELECT range AS tyT FROM range({tgt.n_tiles_y}))
+),
+px AS (
+  SELECT t.txT, t.tyT, p.j, ch.channel, ch.off,
+         {frags["col"]} AS scol,
+         {frags["row"]} AS srow
+  FROM tt t
+  CROSS JOIN (VALUES ('dem', 0.0), ('slope', 500000.0)) ch(channel, off)
+  CROSS JOIN (SELECT range AS j FROM range({Wt * Wt})) p
+),
+fx AS (
+  SELECT txT, tyT, channel,
+         CAST(floor(CAST(srow AS DOUBLE) / {Ws}.0) AS BIGINT) * 1000
+           + CAST(floor(CAST(scol AS DOUBLE) / {Ws}.0) AS BIGINT)
+           + off
+           + 0.5 * CAST((srow % {Ws}) * {Ws} + (scol % {Ws}) AS DOUBLE) AS val
+  FROM px
+  WHERE CAST(floor(CAST(scol AS DOUBLE) / {Ws}.0) AS BIGINT)
+          BETWEEN {ta[:, 0].min()} AND {ta[:, 0].max()}
+    AND CAST(floor(CAST(srow AS DOUBLE) / {Ws}.0) AS BIGINT)
+          BETWEEN {ta[:, 1].min()} AND {ta[:, 1].max()}
+)
+SELECT tyT * {tgt.n_tiles_x} + txT AS tile_id, channel,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(sum(val) * 2.0 AS BIGINT) AS sum_x2
+FROM fx
+GROUP BY 1, 2
+"""
+
+
+SQL_REGRID_MERCATOR = _regrid_mercator_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geoparse": q_geoparse,
     "extract_text": q_extract_text,
@@ -4696,6 +4804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "band_math": q_band_math,
     "temporal_median": q_temporal_median,
     "regrid_store": q_regrid_store,
+    "regrid_mercator": q_regrid_mercator,
     "cell_polyfill": q_cell_polyfill,
     "event_durations": q_event_durations,
     "antimeridian_norm": q_antimeridian,
@@ -4799,6 +4908,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "band_math",
     "temporal_median",
     "regrid_store",
+    "regrid_mercator",
     "cell_polyfill",
     "inverted_index",
     "contamination_overlap",
@@ -4838,13 +4948,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "url_canonicalize",
     "text_len_histogram",
     "cell_rollup",
-    "rolling_hash_fp",
     "temporal_max_mosaic",
     # dropped to fit the 50-slot window, by staleness math: focal_cube
     # and event_durations are r4-green (age 1); image_decode and
     # audio_features are r3-green but their r4-green siblings
     # (image_decode_bmp, audio_features_wav) exercise the same decoder
-    # kernels — the repo parity gate still covers all four every run.
+    # kernels; image_resize / video_frame_sample / rolling_hash_fp are
+    # r3-green pure-kernel queries whose code is untouched since r3 —
+    # the repo parity gate still covers every one of them each run.
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_PRIORITY} | {
@@ -4901,6 +5012,7 @@ ORACLES: dict[str, str] = {
     "band_math": SQL_BAND_MATH,
     "temporal_median": SQL_TEMPORAL_MEDIAN,
     "regrid_store": SQL_REGRID_STORE,
+    "regrid_mercator": SQL_REGRID_MERCATOR,
     "cell_polyfill": SQL_CELL_POLYFILL,
     "event_durations": SQL_EVENT_DURATIONS,
     "antimeridian_norm": SQL_ANTIMERIDIAN,

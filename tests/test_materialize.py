@@ -1151,14 +1151,83 @@ def test_regrid_nearest_matches_affine_expectation(spark, cube):
             filled, sy * 1000.0 + sx + 0.5 * ((SY % 100) * 100 + (SX % 100)), np.nan
         )
         assert np.allclose(blk, exp, equal_nan=True)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError):  # unsupported target CRS is loud
         regrid_nearest(
             spark,
             cube,
             TileGrid(
-                geobox=GeoBox(crs="EPSG:3413", x0=0.0, y0=20.0, res=0.025,
+                geobox=GeoBox(crs="EPSG:9999", x0=0.0, y0=20.0, res=0.025,
                               width=800, height=800),
                 chunk_px=80,
             ),
             ROI_A,
         )
+
+
+def test_regrid_cross_crs_mercator_and_polar(spark, cube):
+    """Cross-CRS regrid (the reproject-match role): a web-mercator and
+    a polar-stereographic target over the 4326 cube — every target
+    pixel equals the source value at the inverse-projected index."""
+    import numpy as np
+
+    from smart_geocubes_spark.geo.geobox import GeoBox, TileGrid
+    from smart_geocubes_spark.geo.projection import project, unproject
+    from smart_geocubes_spark.operators.regrid import regrid_nearest
+
+    materialize(spark, cube, ROI_A)  # lon [2,5), lat (15,18] filled
+
+    def check(target, crs):
+        rows = regrid_nearest(spark, cube, target, target.geobox.extent).filter(
+            "channel = 'dem'"
+        ).collect()
+        assert rows, f"no output chunks for {crs}"
+        n_checked = 0
+        for r in rows:
+            W = target.chunk_px
+            blk = np.array(
+                [v if v is not None else np.nan for v in r["block"]],
+                dtype=np.float64,
+            )
+            tb = target.geobox
+            j = np.arange(W * W)
+            x = tb.x0 + (r["tile_x"] * W + (j % W) + 0.5) * tb.res
+            y = tb.y0 - (r["tile_y"] * W + (j // W) + 0.5) * tb.res
+            lon, lat = unproject(x, y, crs)
+            col = np.floor(lon / 0.01).astype(np.int64)
+            row_ = np.floor((20.0 - lat) / 0.01).astype(np.int64)
+            sx, sy = col // 100, row_ // 100
+            filled = (sx >= 2) & (sx <= 4) & (sy >= 2) & (sy <= 4)
+            exp = np.where(
+                filled,
+                sy * 1000.0 + sx + 0.5 * ((row_ % 100) * 100 + (col % 100)),
+                np.nan,
+            )
+            ok = np.isnan(blk) == np.isnan(exp)
+            assert ok.all()
+            m = ~np.isnan(exp)
+            assert np.array_equal(blk[m], exp[m])
+            n_checked += int(m.sum())
+        assert n_checked > 1000  # the footprint genuinely overlaps
+
+    # mercator target centered on the filled lon/lat region
+    mx, my = project(np.array([2.0, 5.0]), np.array([15.0, 18.0]), "EPSG:3857")
+    merc = TileGrid(
+        geobox=GeoBox(crs="EPSG:3857", x0=float(mx[0]), y0=float(my[1]),
+                      res=2000.0, width=200, height=200),
+        chunk_px=50,
+    )
+    check(merc, "EPSG:3857")
+    # polar-stereographic target over the same region (iterative
+    # inverse); grid sized from the projected corners so the footprint
+    # overlaps regardless of how far the region sits from the pole
+    px_, py_ = project(
+        np.array([2.0, 5.0, 2.0, 5.0]), np.array([15.0, 15.0, 18.0, 18.0]),
+        "EPSG:3413",
+    )
+    pres = float(max(px_.max() - px_.min(), py_.max() - py_.min())) / 140.0
+    polar = TileGrid(
+        geobox=GeoBox(crs="EPSG:3413", x0=float(px_.min()), y0=float(py_.max()),
+                      res=pres, width=150, height=150),
+        chunk_px=50,
+    )
+    check(polar, "EPSG:3413")
