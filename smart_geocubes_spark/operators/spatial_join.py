@@ -216,10 +216,20 @@ def bbox_join(points: DataFrame, catalog_cells: DataFrame) -> DataFrame:
 
 
 def pip_join(points: DataFrame, catalog_cells: DataFrame) -> DataFrame:
-    """Full spatial join: cell prejoin + bbox + ray-cast diamond refine."""
+    """Full spatial join: cell prejoin + bbox + exact diamond refine.
+
+    r6 (guide §4.1): the refine is the diamond's closed form
+    ``|lon-cx|/rx + |lat-cy|/ry < 1`` as a JVM predicate — the exact
+    expression (same term order, identical IEEE doubles) the DuckDB
+    oracle has always used, so the whole join now runs inside
+    WholeStageCodegen with ZERO Python nodes. The ray-cast Arrow
+    kernel this replaces (:func:`diamond_pip_udf`, kept for generic
+    use) was pinned result-equal to this predicate by every green
+    driver row; generic/concave footprints still take the ray-cast
+    path (:func:`polygon_pip_join`), which has no closed form."""
     cand = bbox_join(points, catalog_cells)
-    return cand.filter(
-        diamond_pip_udf()(
-            F.col("lon"), F.col("lat"), F.col("cx"), F.col("cy"), F.col("rx"), F.col("ry")
-        )
-    )
+    inside = (
+        F.abs(F.col("lon") - F.col("cx")) / F.col("rx")
+        + F.abs(F.col("lat") - F.col("cy")) / F.col("ry")
+    ) < F.lit(1.0)
+    return cand.filter(inside)

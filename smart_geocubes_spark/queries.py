@@ -127,9 +127,14 @@ def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow UDF (operators.tiles.make_geoparse_cell_udf) because the
     output only needs (page_id, cell12) — chained pandas UDF hops
     measured 6x slower at 32 cores (CLAUDE.md rule 4; round-3 verdict
-    item #2). Same parse + exact float path as geoparsed_points, so the
-    fixture's regex-match set equals the oracle's LIKE-filter set and
-    the -1 no-parse sentinel filter is equivalent to has_geo."""
+    item #2), and the r6 JVM-expression variant (regexp_extract parse
+    + shared-dialect Morton SQL) measured ~40% slower still: the
+    Morton macro textually duplicates its input expression per bit
+    level, so the un-materialized parse gets folded into a mega-stage
+    (guide §1: measured, then kept the faster plan). Same parse +
+    exact float path as geoparsed_points, so the fixture's regex-match
+    set equals the oracle's LIKE-filter set and the -1 no-parse
+    sentinel filter is equivalent to has_geo."""
     from smart_geocubes_spark.operators.tiles import make_geoparse_cell_udf
 
     dp = spark.sparkContext.defaultParallelism
@@ -2515,7 +2520,8 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     code by s resolutions == dropping its low 2*s interleaved bits, so
     cell8 = (morton12 >> 8) | (8 << 56). ONE ArrowEvalPython total:
     geoparse + res-12 encode fused into a single hop — chained pandas
-    UDFs measured 6x slower (CLAUDE.md rule 4) — and the rollup stays
+    UDFs measured 6x slower (CLAUDE.md rule 4), and the r6 all-JVM
+    variant slower again (see q_cell_encode) — and the rollup stays
     inside whole-stage codegen."""
     from smart_geocubes_spark.operators.tiles import make_geoparse_cell_udf
 

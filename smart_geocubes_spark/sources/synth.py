@@ -198,12 +198,27 @@ def patches_sql(dialect: str) -> str:
 # Spark-side builders
 # ---------------------------------------------------------------------------
 
+#: session-conf key recording which sf_dir's views are registered on a
+#: session — registration is *metadata* (lazy logical plans over the
+#: parquet files; every query still scans the files), so re-deriving it
+#: per query only re-pays schema reads + file listing for all 10 tables
+#: (measured 1.3-4 s per call at local[32], once per headline query —
+#: guide §5 "the driver should do almost no data work" / §6 listing
+#: reuse). Keyed by sf_dir: a session that switches fixtures (the test
+#: suite does) re-registers.
+_VIEWS_KEY = "smart_geocubes.base_views_dir"
+
+
 def ensure_base_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver parquet tables as temp views (idempotent) and
-    pin UTC so timestamp semantics match the DuckDB oracle."""
+    pin UTC so timestamp semantics match the DuckDB oracle. Repeat
+    calls with the same ``sf_dir`` on the same session are no-ops."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get(_VIEWS_KEY, None) == sf_dir:
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    spark.conf.set(_VIEWS_KEY, sf_dir)
 
 
 def pages_df(
@@ -220,9 +235,15 @@ def pages_df(
     ensure_base_views(spark, sf_dir)
     src = "orders"
     if parallelism:
-        spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
-            parallelism
-        ).createOrReplaceTempView("orders_spread")
+        # same metadata-only registration cache as ensure_base_views
+        # (the repartition exchange itself still runs in every query
+        # that reads the view — only the schema read is reused)
+        tag = f"{sf_dir}|{parallelism}"
+        if spark.conf.get("smart_geocubes.orders_spread", None) != tag:
+            spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+                parallelism
+            ).createOrReplaceTempView("orders_spread")
+            spark.conf.set("smart_geocubes.orders_spread", tag)
         src = "orders_spread"
     df = spark.sql(pages_sql(src, mult=mult))
     return df.selectExpr(

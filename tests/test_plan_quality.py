@@ -22,6 +22,11 @@ def test_spatial_join_is_broadcast_hash(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # r6: the diamond refine is the oracle's closed form in codegen —
+    # the ONLY Python node allowed is the geoparse hop; the refine
+    # itself must add none (was a second ArrowEvalPython through r5)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
 
 
 def test_cube_load_pushes_tile_filter_to_parquet(spark, tmp_path):
@@ -105,7 +110,9 @@ def test_asof_is_pure_projection(spark):
 def test_cell_encode_single_python_hop(spark):
     """cell_encode must run geoparse + Morton encode in ONE fused Arrow
     hop (round-3 verdict item #2: two chained ArrowEvalPython hops
-    measured 6x slower than the fused kernel at 32 cores)."""
+    measured 6x slower than the fused kernel at 32 cores; the r6
+    zero-Python JVM variant measured slower again — the Morton SQL
+    macro duplicates the un-materialized parse expression)."""
     from smart_geocubes_spark.queries import q_cell_encode
 
     plan = plan_of(q_cell_encode(spark, SF))
