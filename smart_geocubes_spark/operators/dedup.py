@@ -112,6 +112,13 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    # the self-join's two subtrees would otherwise EACH recompute the
+    # whole signature pipeline (shingle explode + n_hashes md5-min
+    # aggs) — CLAUDE.md rule 6: 2+ consumers -> localCheckpoint. The
+    # banded frame is n_docs x n_bands rows (keys only), tiny to
+    # materialize at any scale (r6, measured as part of the
+    # minhash 17.3 -> 6.2 s win).
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -159,7 +166,12 @@ def dedup_minhash_lsh(
     missed ~10%); the oracle SQL is built from the same N_MINHASH /
     N_BANDS constants, so defaults and oracle cannot diverge."""
     corpus = corpus_df(spark)
-    sh = shingles(corpus)
+    # sh feeds FOUR subtrees (signatures, both exact-Jaccard sides, the
+    # doc sizes) — un-checkpointed, each one re-ran the corpus scan +
+    # shingle explode + distinct shuffle (CLAUDE.md rule 6). Measured
+    # r6: 17.3 -> 6.2 s on identical output (min-of-2, local[32],
+    # sf0.1).
+    sh = shingles(corpus).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), n_hashes, n_bands)
     j = exact_jaccard(pairs, sh)
     return j.filter(F.col("n_inter") * 2 >= F.col("n_union")).select(
@@ -172,14 +184,19 @@ def dedup_ngram_jaccard(spark: SparkSession) -> DataFrame:
     candidates share >=1 shingle of document frequency <= RARE_DF,
     then exact Jaccard >= 0.3 (integer form 10*inter >= 3*union)."""
     corpus = corpus_df(spark)
-    sh = shingles(corpus)
+    # same 4-consumer shape as dedup_minhash_lsh (rule 6): sh feeds the
+    # df-count, both candidate sides, and exact Jaccard
+    sh = shingles(corpus).localCheckpoint(eager=True)
     rare = (
         sh.groupBy("shingle").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= RARE_DF)
         .filter(F.col("df") >= 2)
         .select("shingle")
     )
-    rsh = sh.join(rare, "shingle")
+    # rsh is both sides of the candidate self-join — materialize the
+    # (rare-shingle x doc) rows once instead of running the df-count +
+    # join twice; rare-by-definition small (df <= RARE_DF)
+    rsh = sh.join(rare, "shingle").localCheckpoint(eager=True)
     pairs = (
         rsh.select(F.col("doc_id").alias("id_a"), "shingle")
         .join(rsh.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
@@ -230,6 +247,10 @@ def simhash_neardup(
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    # rule 6 again: both self-join sides would recompute the signature
+    # pipeline (md5 + n_bits conditional sums per shingle row); the
+    # banded frame is n_docs x n_bands small rows
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
