@@ -688,14 +688,25 @@ def candidate_chunks(
     else:
         sel = toi_epochs if toi_epochs is not None else list(spec.time_epochs)
         idxs = [list(spec.time_epochs).index(t) for t in sel]
+        # BROADCAST the time axis like the channel crossJoin below: a
+        # bare crossJoin of two driver-created frames is a
+        # CartesianProduct whose partition count is the PRODUCT of the
+        # sides' (32 x 32 = 1024 tasks for ~100 plan rows — measured
+        # r6: the downstream localCheckpoint took 13-15 s of pure task
+        # scheduling vs ~1 s for the atemporal path; guide §2.4
+        # "Exchange/partition shapes you did not expect")
         tdf = tdf.crossJoin(
-            spark.createDataFrame(pd.DataFrame({"time_idx": np.array(idxs, dtype=np.int32)}))
-            # pandas->Spark conversion widens int32 to LONG; without
-            # this cast temporal lineage parquet lands INT64 under a
-            # LINEAGE_SCHEMA that declares int — latent until a reader
-            # actually materializes the column (every anti-join/count
-            # path prunes it), then FAILED_READ_FILE on the scan
-            .withColumn("time_idx", F.col("time_idx").cast("int"))
+            F.broadcast(
+                spark.createDataFrame(
+                    pd.DataFrame({"time_idx": np.array(idxs, dtype=np.int32)})
+                )
+                # pandas->Spark conversion widens int32 to LONG; without
+                # this cast temporal lineage parquet lands INT64 under a
+                # LINEAGE_SCHEMA that declares int — latent until a reader
+                # actually materializes the column (every anti-join/count
+                # path prunes it), then FAILED_READ_FILE on the scan
+                .withColumn("time_idx", F.col("time_idx").cast("int"))
+            )
         )
     ch = spark.createDataFrame(pd.DataFrame({"channel": list(spec.channels)}))
     out = tdf.crossJoin(F.broadcast(ch))
@@ -799,11 +810,29 @@ def _write_blocks(
             "overwrite"
         ).parquet(block_dir)
         return
-    for elem, chans in sorted(groups.items()):
+
+    def _write_group(item: tuple[str, list[str]]) -> None:
+        elem, chans = item
         sub = make_blocks(plan_df.filter(F.col("channel").isin(chans)))
         sub = sub.withColumn("block", _to_stored(spec, elem))
         sub = _with_chunk_stats(sub, elem)
         sub.write.mode("overwrite").parquet(os.path.join(block_dir, f"dt-{elem}"))
+
+    items = sorted(groups.items())
+    if len(items) == 1:
+        _write_group(items[0])
+    else:
+        # the dtype-group writes are INDEPENDENT jobs on disjoint plan
+        # slices into disjoint subdirs: submit them concurrently so the
+        # later groups' tasks back-fill the earlier groups' stragglers
+        # (guide §2.6 "overlap independent jobs") instead of paying one
+        # full job latency per storage type — measured r6: a 3-dtype
+        # fill's write phase ~3x job latency -> ~1x. The _SUCCESS
+        # marker below still lands only after EVERY group committed.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(3, len(items))) as pool:
+            list(pool.map(_write_group, items))
     # batch-level commit marker: _block_batches requires it, and the
     # per-subdir _SUCCESS files alone would leave the batch invisible
     open(os.path.join(block_dir, "_SUCCESS"), "w").close()
