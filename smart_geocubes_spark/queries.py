@@ -1080,7 +1080,10 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_geocubes_spark.operators.dedup import shingles
 
     ensure_base_views(spark, sf_dir)
-    sh = shingles(corpus_df(spark))
+    # sh feeds three subtrees (needles, totals, overlap) — rule 6:
+    # materialize the shingle pass once (r6, same fix as the dedup
+    # family; ~5.0 -> ~2 s at sf0.1)
+    sh = shingles(corpus_df(spark)).localCheckpoint(eager=True)
     needles = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     total = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
     overlap = (
