@@ -254,7 +254,19 @@ def polygon_zonal_stats_cube(
         "tile_x", "tile_y", "i", gb.x0, gb.y0, gb.res, spec.grid.chunk_px
     )
     pip = point_in_polygon_predicate_sql(px_a, py_a, pxe, pye)
-    masked = df.withColumn("mvals", F.expr(f"filter(block, (x, i) -> {pip})"))
+    # valid-aware mask (r6 correctness fix, advisor item #2): store
+    # chunks can be PARTIALLY covered (patch fills), and the bare PIP
+    # filter kept NULL/NaN holes — the fold then returned NULL sum_x2
+    # (NULL propagates through aggregate) and n_in counted no-data
+    # pixels as inside. Compose validity with the mask, matching the
+    # module's convention (temporal_composite, overviews, regrid all
+    # filter valid first). Full-coverage results are unchanged.
+    masked = df.withColumn(
+        "mvals",
+        F.expr(
+            f"filter(block, (x, i) -> (x IS NOT NULL AND NOT isnan(x)) AND ({pip}))"
+        ),
+    )
     return (
         masked.select(
             "tile_id",

@@ -164,11 +164,23 @@ def _to_stored(spec: "CubeSpec", elem: str):
 
 
 def _to_double(elem: str):
-    """stored element type -> the double compute representation."""
+    """stored element type -> the double compute representation.
+
+    NULL-preserving for EVERY element type (r6 correctness fix,
+    advisor item #1): Spark's ``IF`` treats a NULL condition as false,
+    so the previous bool widen read stored NULL no-data holes (patch
+    borders, partial fills — _to_stored's ``x != 0.0`` correctly keeps
+    them NULL) back as 0.0 — patch merges then treated holes as real
+    'false' data and chunk stats counted them valid. Float/smallint
+    casts already preserve NULL; bool now does too (pinned by
+    tests/test_materialize.py::test_bool_channel_holes_stay_null)."""
     if elem == "double":
         return F.col("block")
     if elem == "boolean":
-        return F.expr("transform(block, x -> IF(x, 1.0D, 0.0D))")
+        return F.expr(
+            "transform(block, x -> CASE WHEN x IS NULL THEN CAST(NULL AS DOUBLE)"
+            " WHEN x THEN 1.0D ELSE 0.0D END)"
+        )
     return F.col("block").cast("array<double>")
 
 
@@ -559,15 +571,27 @@ def _record_write_events(path: str, batch_id: str, block_dir: str, job_start_us:
 
     rows = []
     # typed batches keep their part files under dt-<elem> subdirs —
-    # walk one level of them alongside the top-level layout
-    names = [(fn, os.path.join(block_dir, fn)) for fn in sorted(os.listdir(block_dir))]
-    names += [
-        (fn, os.path.join(block_dir, sub, fn))
-        for sub, _ in list(names)
+    # walk one level of them alongside the top-level layout. Each
+    # subdir is its own write JOB whose part files restart at
+    # part-00000, so the subdir index offsets the recorded
+    # partition_id (r6 correctness fix, advisor item #4): without it a
+    # typed batch emitted multiple 'write' rows sharing a partition_id
+    # and event_durations conflated files from different dtype-group
+    # jobs into one lane. Top-level (all-double) files keep offset 0 —
+    # the gen-lane <-> write-lane pid equality the Gantt tests pin.
+    names = [
+        (fn, os.path.join(block_dir, fn), 0) for fn in sorted(os.listdir(block_dir))
+    ]
+    subs = [
+        sub for sub, _, _ in list(names)
         if sub.startswith("dt-") and os.path.isdir(os.path.join(block_dir, sub))
+    ]
+    names += [
+        (fn, os.path.join(block_dir, sub, fn), (si + 1) * 100000)
+        for si, sub in enumerate(sorted(subs))
         for fn in sorted(os.listdir(os.path.join(block_dir, sub)))
     ]
-    for fn, fp in names:
+    for fn, fp, pid_off in names:
         # strict part-file shape: a naming variant must not abort the
         # fill after the blocks already landed
         m = _re.match(r"part-(\d+)-", fn)
@@ -576,7 +600,7 @@ def _record_write_events(path: str, batch_id: str, block_dir: str, job_start_us:
         st = os.stat(fp)
         rows.append(
             {
-                "partition_id": int(m.group(1)),
+                "partition_id": int(m.group(1)) + pid_off,
                 "t_start_us": int(job_start_us),
                 # clamp: file mtime comes from the filesystem clock; on
                 # NFS/VM drift it can lag the driver clock — a telemetry
@@ -1536,6 +1560,18 @@ def build_overviews(
     built_at = max(seqs.values(), default=0)
     snaps = snapshots(path)
     built_at_batch = snaps[-1]["batch_id"] if snaps else None
+    # record the level's COVERAGE (r6 correctness fix, advisor item
+    # #3): a partial (roi_bbox) build used to stamp only the cube-wide
+    # seq, so load_overview's staleness check passed for ANY roi and a
+    # read outside the built region silently returned no rows — a
+    # partial zoom-out served as complete. The built tile-id set (the
+    # same enumeration load() prunes by; <= n_tiles ints) makes the
+    # claim exact for every ROI spelling.
+    nx = spec.grid.n_tiles_x
+    items, _ = _roi_items(roi_bbox)
+    built_tiles = sorted(
+        {int(ty * nx + tx) for it in items for tx, ty in _item_tiles(spec.grid, it)}
+    )
     src = load(spark, path, roi_bbox)
     n = 0
     for f in factors:
@@ -1549,7 +1585,8 @@ def build_overviews(
         with open(os.path.join(d, "_overview.json"), "w") as fh:
             json.dump(
                 {"factor": int(f), "chunk_px": spec.grid.chunk_px // int(f),
-                 "built_at_seq": built_at, "built_at_batch": built_at_batch},
+                 "built_at_seq": built_at, "built_at_batch": built_at_batch,
+                 "built_tile_ids": built_tiles},
                 fh,
             )
         n += 1
@@ -1613,6 +1650,11 @@ def refresh_overviews(
             "built_at_seq": cur_seq,
             "built_at_batch": snaps[-1]["batch_id"] if snaps else None,
         }
+        # a refresh never widens the level's coverage claim: carry the
+        # original built tile set through (legacy meta without it =
+        # pre-fix full-extent build, left absent)
+        if "built_tile_ids" in meta:
+            new_meta["built_tile_ids"] = meta["built_tile_ids"]
         if n_changed == 0:
             # nothing to merge (e.g. only a compaction landed): the
             # level content is already correct — just advance the meta
@@ -1676,6 +1718,19 @@ def load_overview(
     )
     if not tile_ids:
         raise ValueError("ROI does not intersect the cube extent")
+    # coverage gate (advisor item #3): a level built for a partial ROI
+    # must refuse reads beyond it instead of silently serving an empty
+    # (or partial) zoom-out as complete. Legacy meta without the tile
+    # set predates partial builds (always full-extent) — no gate.
+    if "built_tile_ids" in meta:
+        outside = sorted(set(tile_ids) - set(meta["built_tile_ids"]))
+        if outside:
+            raise ValueError(
+                f"overview f={factor} covers {len(meta['built_tile_ids'])} "
+                f"tiles but the requested ROI needs {len(outside)} outside "
+                "the built region (e.g. tile_id "
+                f"{outside[0]}); rebuild with a covering ROI"
+            )
     df = spark.read.schema(OVERVIEW_SCHEMA).parquet(d)
     df = df.filter(F.col("tile_id").isin(tile_ids))
     if channels is not None:

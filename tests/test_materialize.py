@@ -803,6 +803,79 @@ class TestChannelDtypes:
         assert after.count() == before
         assert dict(after.dtypes)["block"] == "array<double>"
 
+    def test_typed_write_events_unique_per_leaf(self, spark, tmp_path):
+        """r6 correctness fix (advisor item #4): each dtype-group write
+        job restarts part numbering at part-00000, so a typed batch's
+        'write' event rows used to share partition_ids across leaves
+        and event_durations conflated files from different jobs into
+        one lane. Every write row must be its own lane now."""
+        from smart_geocubes_spark.plans.materialize import (
+            event_durations,
+            read_events,
+        )
+
+        path = self._typed_cube(tmp_path)
+        materialize(spark, path, ROI_A)
+        wr = read_events(spark, path).filter(F.col("action") == "write").collect()
+        pids = [r["partition_id"] for r in wr]
+        assert len(pids) == len(set(pids)), "one write lane per physical file"
+        lanes = event_durations(spark, path).filter(
+            F.col("action") == "write"
+        ).collect()
+        assert len(lanes) == len(wr)
+        assert all(r["n_chunks"] == 1 for r in lanes)
+
+    def test_bool_channel_holes_stay_null(self, spark, tmp_path):
+        """r6 correctness fix (advisor item #1): NULL no-data holes in
+        a stored BOOL chunk must read back as NULL, not 0.0 — Spark's
+        IF treats a NULL condition as false, so the old widen turned
+        partial-fill holes into real 'false' pixels (patch merges then
+        kept them, and chunk stats counted them valid)."""
+        import numpy as np
+
+        from smart_geocubes_spark.plans.materialize import (
+            chunk_stats,
+            materialize_patch,
+        )
+
+        path = str(tmp_path / "boolcube")
+        create_cube(
+            path,
+            CubeSpec(grid=SMALL_GRID, channels=("wet",), dtypes=("bool",),
+                     time_epochs=None),
+        )
+        # patch covers only the LEFT half of tile (tx=2, ty=3): the
+        # right half of that chunk is a genuine no-data hole
+        materialize_patch(spark, path, (2.0, 16.0, 2.5, 17.0), "p_left")
+
+        def tile_arr():
+            row = (
+                load(spark, path, (2.0, 16.0, 3.0, 17.0))
+                .filter((F.col("tile_x") == 2) & (F.col("tile_y") == 3))
+                .collect()[0]
+            )
+            return np.array(
+                [np.nan if v is None else v for v in row["block"]],
+                dtype=np.float64,
+            ).reshape(100, 100)
+
+        arr = tile_arr()
+        assert np.isnan(arr[:, 50:]).all(), "holes must stay NULL, not 0.0"
+        assert np.isfinite(arr[:, :50]).all()
+        assert set(np.unique(arr[:, :50])) <= {0.0, 1.0}
+        # zone-map stats must count only the real pixels
+        st = chunk_stats(spark, path, (2.0, 16.0, 3.0, 17.0)).filter(
+            (F.col("tile_x") == 2) & (F.col("tile_y") == 3)
+        ).collect()[0]
+        assert st["n_valid"] == 100 * 50
+        # merge round-trip: a second patch fills the right half; the
+        # NaN-coalesce must treat the holes as holes (fill them), and
+        # keep the left half's data
+        materialize_patch(spark, path, (2.5, 16.0, 3.0, 17.0), "p_right")
+        arr2 = tile_arr()
+        assert np.isfinite(arr2).all()
+        assert np.array_equal(arr2[:, :50], arr[:, :50])
+
     def test_uint8_overflow_raises_in_plan(self, spark, tmp_path):
         path = str(tmp_path / "u8cube")
         create_cube(
@@ -1024,6 +1097,36 @@ def test_store_overviews_build_load_and_staleness(spark, cube):
     assert load_overview(spark, cube, ROI_B, 2, channels=["dem"]).count() == 12
     with pytest.raises(ValueError):
         load_overview(spark, cube, ROI_B, 2, channels=["nope"])
+
+
+def test_overview_partial_build_refuses_uncovered_roi(spark, cube):
+    """r6 correctness fix (advisor item #3): a level built for a
+    partial ROI must refuse reads beyond the built region instead of
+    silently serving an empty zoom-out as complete; a refresh carries
+    the original coverage claim forward."""
+    from smart_geocubes_spark.plans.materialize import (
+        build_overviews,
+        load_overview,
+        refresh_overviews,
+    )
+
+    materialize(spark, cube, ROI_A)
+    materialize(spark, cube, ROI_B)
+    build_overviews(spark, cube, factors=(2,), roi_bbox=ROI_A)
+    # inside the built region: fine
+    assert load_overview(spark, cube, ROI_A, 2).count() == 18
+    # ROI_B needs tiles outside the built region: loud refusal
+    with pytest.raises(ValueError, match="outside"):
+        load_overview(spark, cube, ROI_B, 2)
+    # a refresh after a new commit must not widen the coverage claim
+    materialize(spark, cube, (6.2, 12.2, 6.8, 12.9))
+    refresh_overviews(spark, cube, factors=(2,))
+    assert load_overview(spark, cube, ROI_A, 2).count() == 18
+    with pytest.raises(ValueError, match="outside"):
+        load_overview(spark, cube, ROI_B, 2)
+    # full rebuild restores full coverage
+    build_overviews(spark, cube, factors=(2,))
+    assert load_overview(spark, cube, ROI_B, 2).count() == 24
 
 
 def test_overview_nan_borders_average_valid_only(spark, cube):

@@ -499,6 +499,40 @@ class TestPolygonZonal:
         )
         assert got == want and len(got) > 0
 
+    def test_cube_zonal_is_valid_aware_on_partial_chunks(self, spark, tmp_path):
+        """r6 correctness fix (advisor item #2): on a PARTIALLY covered
+        chunk (patch fill) the polygon fold must skip NULL/NaN holes —
+        previously sum_x2 came back NULL (NULL propagates through the
+        aggregate) and n_in counted no-data pixels as inside."""
+        import numpy as np
+
+        from smart_geocubes_spark.operators.zonal import polygon_zonal_stats_cube
+        from smart_geocubes_spark.plans.materialize import (
+            CubeSpec,
+            create_cube,
+            materialize_patch,
+        )
+        from tests.test_materialize import SMALL_GRID
+
+        path = str(tmp_path / "pz_partial")
+        create_cube(
+            path, CubeSpec(grid=SMALL_GRID, channels=("dem",), time_epochs=None)
+        )
+        # fill only the LEFT half of tile (tx=2, ty=3): x in [2.0, 2.5)
+        materialize_patch(spark, path, (2.0, 16.0, 2.5, 17.0), "p_left")
+        # polygon = the whole tile footprint; half its pixels are holes
+        poly = [(2.0, 16.0), (3.0, 16.0), (3.0, 17.0), (2.0, 17.0)]
+        rows = polygon_zonal_stats_cube(spark, path, poly).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["sum_x2"] is not None, "NULL holes must not poison the fold"
+        assert r["n_in"] == 100 * 50  # only the filled half counts
+        # exact expected sum over the valid half: value = ty*1000+tx+0.5*i
+        # for columns 0..49 of each row (patch has value_offset 0)
+        i = np.arange(100 * 100).reshape(100, 100)
+        vals = 3 * 1000.0 + 2 + 0.5 * i
+        assert int(r["sum_x2"]) == int(vals[:, :50].sum() * 2)
+
     def test_wkt_accepted(self, spark):
         from smart_geocubes_spark.operators.zonal import polygon_zonal_stats
         from smart_geocubes_spark.queries import GRID
