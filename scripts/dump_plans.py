@@ -28,6 +28,11 @@ NODE_RE = re.compile(
 
 
 def main() -> None:
+    # r6 (verdict r5 item #5): let PLANS.md see through the store
+    # queries' result checkpoint — without this every store-path row
+    # showed an empty plan (bare ExistingRDD). Plan-dump only; the
+    # frames are explained, never executed.
+    os.environ["SPARK_GRAFT_DUMP_PLANS"] = "1"
     from pyspark.sql import SparkSession
 
     spark = (

@@ -135,7 +135,23 @@ def lsh_candidate_pairs(
 
 def exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (integer output:
-    intersection + union sizes; thresholds compare integers)."""
+    intersection + union sizes; thresholds compare integers).
+
+    r6 (guide §3.2 "reduce the big side before shuffling it"): only
+    docs that appear in a candidate pair can contribute a row to the
+    intersection or be looked up in the size table, so the shingle
+    table is semi-joined down to the candidate doc set FIRST — a
+    broadcast of |2 x pairs| distinct ids (candidate sets are
+    banding-bounded and small by design) replaces shuffling the FULL
+    corpus shingle table through the (id_b, shingle) join and the
+    sizes groupBy. Join output is unchanged (inner joins on pair ids
+    could never match non-pair docs)."""
+    pair_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(pair_docs), "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # intersection via one join on shingle between the two sides
     sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")

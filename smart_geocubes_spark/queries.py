@@ -55,6 +55,22 @@ pts AS (
 )"""
 
 
+def _result_ckpt(df: DataFrame) -> DataFrame:
+    """Store-path queries checkpoint their RESULT eagerly so the temp
+    cube can be deleted in the enclosing ``finally`` before the driver
+    collects. That makes ``dump_plans`` record an empty plan (a bare
+    ExistingRDD scan) for every store query — r5 verdict "what's
+    wrong" #3. Plan-dump mode (``SPARK_GRAFT_DUMP_PLANS=1``) skips the
+    checkpoint so PLANS.md shows the real shape; NEVER set it for
+    execution — the un-checkpointed frame references the deleted temp
+    store and any action on it will fail."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_DUMP_PLANS") == "1":
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-side geoparsed points: REAL path (regex pandas UDF over
     url), not the generator's lat_e5 columns — the oracle cross-checks
@@ -780,7 +796,7 @@ def q_event_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the (tiny) rollup so the temp cube can be deleted
         # NOW instead of leaking an evcube_* dir per invocation (the
         # lazy frame would otherwise still need the files on disk)
-        return out.localCheckpoint(eager=True)
+        return _result_ckpt(out)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -4087,7 +4103,7 @@ def q_focal_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         materialize(spark, path, FOCAL_ROIS[0])
         # 18 result rows: checkpoint eagerly, then the store can go
-        return focal_mean3_cube(spark, path, FOCAL_ROIS[0]).localCheckpoint(eager=True)
+        return _result_ckpt(focal_mean3_cube(spark, path, FOCAL_ROIS[0]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4137,7 +4153,7 @@ def q_typed_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
             ).alias("sum_x2"),
         )
-        return out.localCheckpoint(eager=True)
+        return _result_ckpt(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4234,7 +4250,7 @@ def q_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("n_in") > 0)
         )
-        return out.localCheckpoint(eager=True)
+        return _result_ckpt(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4311,7 +4327,7 @@ def q_store_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
             ).alias("sum_x2"),
         )
-        return out.localCheckpoint(eager=True)
+        return _result_ckpt(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4394,7 +4410,7 @@ def q_overview_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 8.0 AS BIGINT)"
             ).alias("sum_x8"),
         )
-        return out.localCheckpoint(eager=True)
+        return _result_ckpt(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4466,7 +4482,7 @@ def q_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
             ).alias("sum_x2"),
         )
-        return res.localCheckpoint(eager=True)
+        return _result_ckpt(res)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4541,7 +4557,7 @@ def q_temporal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(aggregate(block, 0.0D, (a, x) -> a + x) * 2.0 AS BIGINT)"
             ).alias("sum_x2"),
         )
-        return out.localCheckpoint(eager=True)
+        return _result_ckpt(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4631,7 +4647,7 @@ def q_regrid_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("n_valid") > 0)
         )
-        return res.localCheckpoint(eager=True)
+        return _result_ckpt(res)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4740,7 +4756,7 @@ def q_regrid_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("n_valid") > 0)
         )
-        return res.localCheckpoint(eager=True)
+        return _result_ckpt(res)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
