@@ -146,12 +146,21 @@ def exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     corpus shingle table through the (id_b, shingle) join and the
     sizes groupBy. Join output is unchanged (inner joins on pair ids
     could never match non-pair docs)."""
+    # rule 6 inside the operator too: pairs feeds pair_docs (x2) + the
+    # intersection join, and the semi-joined shingle frame feeds three
+    # subtrees (sizes, both intersection sides) — un-checkpointed, the
+    # candidate-generation join re-executed once per reference (first
+    # cut of this prefilter showed the bands join replicated ~6x in
+    # the plan). Both frames are candidate-sized.
+    pairs = pairs.localCheckpoint(eager=True)
     pair_docs = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh = sh.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+    sh = sh.join(F.broadcast(pair_docs), "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # intersection via one join on shingle between the two sides
     sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
