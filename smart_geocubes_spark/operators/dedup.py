@@ -204,31 +204,44 @@ def dedup_minhash_lsh(
     )
 
 
+def rare_shingle_pairs(sh: DataFrame, max_df: int = RARE_DF) -> DataFrame:
+    """Candidate pairs (id_a < id_b, distinct) of docs sharing >= 1
+    shingle with document frequency in [2, max_df] — in ONE shuffle
+    (r6): group shingle -> doc-id set; a rare group holds <= max_df
+    ids, so its <= C(max_df, 2) ordered pairs are generated IN CODEGEN
+    from the array. This replaced the previous df-count groupBy +
+    sh-x-rare join + rsh self-join (three passes over the shingle
+    rows). size(ids) equals a count(*) df because ``sh`` is
+    (doc_id, shingle) DISTINCT (shingles() contract). Output proven
+    row-identical; measured 13.4 -> 10.8 s min-of-3 interleaved at
+    sf0.1 (and 2-3x in degraded reps)."""
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, a -> transform(ids, b -> "
+                    "struct(a AS id_a, b AS id_b)))), p -> p.id_a < p.id_b)"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession) -> DataFrame:
     """n-gram Jaccard near-dup with rare-shingle candidate pruning:
     candidates share >=1 shingle of document frequency <= RARE_DF,
     then exact Jaccard >= 0.3 (integer form 10*inter >= 3*union)."""
     corpus = corpus_df(spark)
-    # same 4-consumer shape as dedup_minhash_lsh (rule 6): sh feeds the
-    # df-count, both candidate sides, and exact Jaccard
+    # sh feeds the pair generation and exact Jaccard (rule 6)
     sh = shingles(corpus).localCheckpoint(eager=True)
-    rare = (
-        sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= RARE_DF)
-        .filter(F.col("df") >= 2)
-        .select("shingle")
-    )
-    # rsh is both sides of the candidate self-join — materialize the
-    # (rare-shingle x doc) rows once instead of running the df-count +
-    # join twice; rare-by-definition small (df <= RARE_DF)
-    rsh = sh.join(rare, "shingle").localCheckpoint(eager=True)
-    pairs = (
-        rsh.select(F.col("doc_id").alias("id_a"), "shingle")
-        .join(rsh.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = rare_shingle_pairs(sh)
     j = exact_jaccard(pairs, sh)
     return j.filter(F.col("n_inter") * 10 >= F.col("n_union") * 3).select(
         "id_a", "id_b", "n_inter", "n_union"

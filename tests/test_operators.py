@@ -1021,3 +1021,51 @@ def test_temporal_composite_stats_and_invalid_pixels(spark):
 
     with _pytest.raises(ValueError):
         temporal_composite(df, "mode")
+
+
+class TestRareShinglePairs:
+    """Pin the r6 single-shuffle codegen pair generation in
+    dedup_ngram_jaccard against the rare-shingle co-occurrence
+    DEFINITION, recomputed brute-force in Python."""
+
+    def _sh(self, spark):
+        # crafted df spectrum: s1 df=1 (excluded), s2 df=2, s3 df=5
+        # (= RARE_DF, included), s4 df=6 (excluded), s5 df=2 repeating
+        # a pair s2 already produced (distinct must collapse it)
+        rows = (
+            [(10, "s1")]
+            + [(i, "s2") for i in (1, 2)]
+            + [(i, "s3") for i in (1, 3, 4, 5, 6)]
+            + [(i, "s4") for i in (1, 2, 3, 4, 5, 7)]
+            + [(i, "s5") for i in (1, 2)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    def test_matches_bruteforce_definition(self, spark):
+        from smart_geocubes_spark.operators.dedup import rare_shingle_pairs
+
+        sh = self._sh(spark)
+        got = {tuple(r) for r in rare_shingle_pairs(sh, max_df=5).collect()}
+        by_shingle = {}
+        for did, s in sh.collect():
+            by_shingle.setdefault(s, set()).add(did)
+        want = {
+            (a, b)
+            for ids in by_shingle.values()
+            if 2 <= len(ids) <= 5
+            for a in ids
+            for b in ids
+            if a < b
+        }
+        assert got == want
+        assert (1, 2) in got and (10, 7) not in got  # df=1/df=6 excluded
+
+    def test_single_shuffle_no_join(self, spark):
+        """The pair generation must stay one groupBy + one distinct —
+        no join anywhere (the pre-r6 shape had a df-count + rare join +
+        rsh self-join)."""
+        from smart_geocubes_spark.operators.dedup import rare_shingle_pairs
+
+        plan = rare_shingle_pairs(self._sh(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("Exchange") <= 2  # groupBy + distinct
